@@ -1,0 +1,118 @@
+"""Unit tests for core ops vs torch golden values."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from theia_tpu.ops.image import bicubic_resize, center_crop, interpolate_nearest, preprocess_images
+from theia_tpu.ops.convt import conv_transpose_2d
+
+
+def test_bicubic_matches_torch_upsample():
+    # torch F.interpolate(mode="bicubic", align_corners=False), a=-0.75
+    x = np.random.RandomState(0).randn(2, 3, 14, 14).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=(16, 16), mode="bicubic", align_corners=False)
+    got = bicubic_resize(jnp.asarray(x.transpose(0, 2, 3, 1)), 16, 16, a=-0.75, antialias=False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref.numpy(), atol=2e-5)
+
+
+def test_bicubic_scale_factor_quirk():
+    # reference pos-embed interpolation passes scale_factor=(h0+0.1)/sqrt(N)
+    # (reference backbones.py:56-66)
+    n = 14
+    h0 = 20
+    x = np.random.RandomState(1).randn(1, 8, n, n).astype(np.float32)
+    scale = (h0 + 0.1) / n
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=(scale, scale), mode="bicubic", align_corners=False)
+    assert ref.shape[-1] == h0
+    got = bicubic_resize(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), h0, h0, a=-0.75, antialias=False,
+        scale_h=scale, scale_w=scale,
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref.numpy(), atol=3e-5)
+
+
+def test_bicubic_downscale_antialias_close_to_pil():
+    from PIL import Image
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, size=(224, 224, 3), dtype=np.uint8)
+    ref = np.asarray(Image.fromarray(img).resize((112, 112), Image.BICUBIC)).astype(np.float32)
+    got = np.asarray(bicubic_resize(jnp.asarray(img, jnp.float32), 112, 112, a=-0.5, antialias=True))
+    # PIL quantizes coefficients to 8-bit fixed point and rounds to uint8
+    # between the two passes — on pure noise allow a few LSB
+    assert np.abs(got - ref).mean() < 1.0
+    assert np.abs(got - ref).max() < 16.0
+
+    # on a smooth image the match should be tight
+    yy, xx = np.mgrid[0:224, 0:224]
+    smooth = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32) / 448 * 255
+    smooth_u8 = smooth.astype(np.uint8)
+    ref = np.asarray(Image.fromarray(smooth_u8).resize((112, 112), Image.BICUBIC)).astype(np.float32)
+    got = np.asarray(bicubic_resize(jnp.asarray(smooth_u8, jnp.float32), 112, 112, a=-0.5, antialias=True))
+    assert np.abs(got - ref).max() < 1.5
+
+
+def test_nearest_matches_torch():
+    x = np.random.RandomState(3).randn(1, 4, 14, 14).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=(16, 16), mode="nearest")
+    got = interpolate_nearest(jnp.asarray(x.transpose(0, 2, 3, 1)), 16, 16)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref.numpy(), atol=0)
+
+
+@pytest.mark.parametrize(
+    "in_hw,k,s,p,op,out_hw",
+    [
+        (14, 3, 1, 0, 0, 16),  # pad deconv (adapter_heads.py:282-289)
+        (16, 3, 2, 1, 0, 31),  # 16->31 (adapter_heads.py:307)
+        (31, 3, 2, 0, 1, 64),  # 31->64 (adapter_heads.py:310)
+    ],
+)
+def test_conv_transpose_matches_torch(in_hw, k, s, p, op, out_hw):
+    cin, cout = 5, 7
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, cin, in_hw, in_hw).astype(np.float32)
+    w = rng.randn(cin, cout, k, k).astype(np.float32) * 0.1
+    ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w), stride=s, padding=p, output_padding=op)
+    assert ref.shape[-1] == out_hw
+    got = conv_transpose_2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 0, 1)),
+        stride=s,
+        padding=p,
+        output_padding=op,
+    )
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_preprocess_matches_hf_deit_processor():
+    from transformers import DeiTImageProcessor
+
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 256, size=(2, 224, 224, 3), dtype=np.uint8)
+    proc = DeiTImageProcessor()
+    ref = proc(list(imgs), return_tensors="np")["pixel_values"]  # NCHW
+    got = np.asarray(preprocess_images(jnp.asarray(imgs))).transpose(0, 3, 1, 2)
+    assert got.shape == ref.shape
+    # PIL uint8 rounding between passes -> tolerate ~1.5/127 per pixel max
+    assert np.abs(got - ref).mean() < 0.006
+    assert np.abs(got - ref).max() < 0.08
+
+
+def test_preprocess_channels_first_and_no_resize():
+    rng = np.random.RandomState(6)
+    imgs = rng.randint(0, 256, size=(2, 3, 224, 224), dtype=np.uint8)
+    out = preprocess_images(jnp.asarray(imgs), do_resize=False)
+    assert out.shape == (2, 224, 224, 3)
+    ref = (imgs.astype(np.float32).transpose(0, 2, 3, 1) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_center_crop():
+    x = jnp.arange(2 * 6 * 6 * 1).reshape(2, 6, 6, 1).astype(jnp.float32)
+    y = center_crop(x, 4, 4)
+    assert y.shape == (2, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0, 0]), np.asarray(x[0, 1, 1, 0]))

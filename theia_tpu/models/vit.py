@@ -1,0 +1,291 @@
+"""TPU-native ViT/DeiT student backbones.
+
+Re-implements the reference's three backbone variants (standard DeiT with
+CLS, DeiT-NoCLS, DeiT with register tokens — reference:
+src/theia/models/backbones.py:26-526) as one Flax module, designed TPU-first:
+
+- uint8 preprocessing (resize/rescale/normalize, DeiT AutoProcessor
+  semantics) is traced into the same XLA program instead of running on the
+  host per batch (reference inefficiency at backbones.py:337-339);
+- the 16x16 patch conv is expressed as extract-patches + matmul so it lands
+  on the MXU directly;
+- all shapes are static; the 197(+reg)-token encoder fuses fully under jit.
+
+Weight layout is convertible 1:1 from HF ViTModel state dicts (see
+theia_tpu/models/hf_convert.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from theia_tpu.ops.image import bicubic_resize, preprocess_images
+from theia_tpu.ops.init import trunc_normal_init
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTBackboneConfig:
+    """Static config of a ViT/DeiT-style encoder (matches HF ViTConfig fields)."""
+
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    intermediate_size: int = 1536
+    patch_size: int = 16
+    image_size: int = 224
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    qkv_bias: bool = True
+    # preprocessing (DeiT AutoProcessor defaults)
+    resize_size: int = 256
+    crop_size: int = 224
+    image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def spatial(self) -> int:
+        return self.image_size // self.patch_size
+
+
+# Student sizes used by the reference configs
+# (reference: src/theia/configs/model/backbone/*.yaml; backbones.py:269,348,429).
+_DEIT_SIZES = {
+    "deit-tiny-patch16-224": dict(hidden_size=192, num_heads=3, intermediate_size=768),
+    "deit-small-patch16-224": dict(hidden_size=384, num_heads=6, intermediate_size=1536),
+    "deit-base-patch16-224": dict(hidden_size=768, num_heads=12, intermediate_size=3072),
+}
+
+BACKBONE_CONFIGS: dict[str, ViTBackboneConfig] = {}
+for _sz, _kw in _DEIT_SIZES.items():
+    for _prefix in ("", "nocls-", "reg-"):
+        BACKBONE_CONFIGS[f"{_prefix}facebook/{_sz}"] = ViTBackboneConfig(**_kw)
+
+
+class _TransformerBlock(nn.Module):
+    """Pre-LN ViT encoder block matching HF ViTLayer numerics exactly."""
+
+    cfg: ViTBackboneConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        c = cfg.hidden_size
+        nh = cfg.num_heads
+        hd = c // nh
+        dense = lambda feats, name, use_bias=True: nn.Dense(
+            feats,
+            name=name,
+            use_bias=use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(cfg.initializer_range),
+            bias_init=nn.initializers.zeros,
+        )
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name=name, dtype=self.dtype, param_dtype=jnp.float32
+        )
+
+        h = ln("layernorm_before")(x)
+        b, t, _ = h.shape
+        q = dense(c, "query", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
+        k = dense(c, "key", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
+        v = dense(c, "value", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
+        x = x + dense(c, "attention_output")(ctx)
+
+        h = ln("layernorm_after")(x)
+        h = dense(cfg.intermediate_size, "intermediate")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + dense(c, "output")(h)
+        return x
+
+
+class ViTBackbone(nn.Module):
+    """ViT/DeiT student backbone with cls / nocls / reg variants.
+
+    variant:
+      - "cls": standard DeiT; output tokens [B, 1+N, C]
+        (reference: src/theia/models/backbones.py:255-341).
+      - "nocls": no CLS token; pos embed keeps the (1, 1+N, C) shape but only
+        [:, 1:] is added (backbones.py:26-125, :91); output [B, N, C].
+      - "reg": CLS + patches + num_reg_tokens trailing register tokens with a
+        separate learned reg pos embed (backbones.py:129-252); output
+        [B, 1+N+R, C].
+    """
+
+    cfg: ViTBackboneConfig
+    variant: str = "cls"  # "cls" | "nocls" | "reg"
+    num_reg_tokens: int = 0
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        cfg = self.cfg
+        c = cfg.hidden_size
+        p = cfg.patch_size
+        init = trunc_normal_init(cfg.initializer_range)
+        # patch embedding as a matmul kernel, element order (kh, kw, cin)
+        self.patch_kernel = self.param("patch_kernel", init, (p * p * 3, c))
+        self.patch_bias = self.param("patch_bias", nn.initializers.zeros, (c,))
+        # position embeddings always stored (1, 1+N, C) to match reference
+        # weight shapes across variants
+        self.position_embeddings = self.param(
+            "position_embeddings", init, (1, 1 + cfg.num_patches, c)
+        )
+        if self.variant != "nocls":
+            self.cls_token = self.param("cls_token", init, (1, 1, c))
+        if self.variant == "reg":
+            if self.num_reg_tokens <= 0:
+                raise ValueError("reg variant requires num_reg_tokens > 0")
+            self.reg_token = self.param("reg_token", init, (1, self.num_reg_tokens, c))
+            self.reg_pos_embed = self.param("reg_pos_embed", init, (1, self.num_reg_tokens, c))
+        self.blocks = [
+            _TransformerBlock(cfg, dtype=self.dtype, name=f"block_{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.final_layernorm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="layernorm", dtype=self.dtype, param_dtype=jnp.float32
+        )
+
+    @property
+    def no_cls(self) -> bool:
+        return self.variant == "nocls"
+
+    def get_feature_size(self, keep_spatial: bool = False) -> tuple[int, ...]:
+        """Backbone feature size, computed statically (the reference probes it
+        with a dummy uint8 forward; backbones.py:287-312)."""
+        cfg = self.cfg
+        if keep_spatial:
+            return (cfg.hidden_size, cfg.spatial, cfg.spatial)
+        return (cfg.hidden_size, cfg.num_patches)
+
+    def _patch_embed(self, x: jax.Array) -> jax.Array:
+        """[B,H,W,3] float -> [B,N,C] via extract-patches + matmul (MXU path)."""
+        cfg = self.cfg
+        b, h, w, c_in = x.shape
+        p = cfg.patch_size
+        nh, nw = h // p, w // p
+        x = x.reshape(b, nh, p, nw, p, c_in)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, p * p * c_in)
+        return (
+            jnp.dot(x, self.patch_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
+            + self.patch_bias
+        ).astype(self.dtype)
+
+    def _interp_patch_pos(self, nh: int, nw: int) -> jax.Array:
+        """Bicubic pos-embed interpolation with the reference's h0+0.1 quirk
+        (backbones.py:39-69): torch bicubic (a=-0.75), scale=(h0+0.1)/sqrt(N)."""
+        cfg = self.cfg
+        n = cfg.num_patches
+        s = int(math.sqrt(n))
+        patch_pos = self.position_embeddings[:, 1:].reshape(1, s, s, cfg.hidden_size)
+        out = bicubic_resize(
+            patch_pos.astype(jnp.float32),
+            nh,
+            nw,
+            a=-0.75,
+            antialias=False,
+            scale_h=(nh + 0.1) / s,
+            scale_w=(nw + 0.1) / s,
+        )
+        return out.reshape(1, nh * nw, cfg.hidden_size)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        do_resize: bool = True,
+        interpolate_pos_encoding: Optional[bool] = None,
+        do_rescale: bool = True,
+        do_normalize: bool = True,
+    ) -> jax.Array:
+        """uint8 [B,H,W,C] or [B,C,H,W] images -> last hidden state tokens.
+
+        Mirrors reference DeiT.forward (backbones.py:314-341): AutoProcessor
+        preprocessing followed by the ViT encoder; here both are fused into
+        the XLA program.
+        """
+        cfg = self.cfg
+        x = preprocess_images(
+            x,
+            do_resize=do_resize,
+            do_rescale=do_rescale,
+            do_normalize=do_normalize,
+            resize_size=cfg.resize_size,
+            crop_size=cfg.crop_size,
+            image_mean=cfg.image_mean,
+            image_std=cfg.image_std,
+            out_dtype=self.dtype,
+        )
+        b, h, w, _ = x.shape
+        nh, nw = h // cfg.patch_size, w // cfg.patch_size
+        tokens = self._patch_embed(x)  # [B, nh*nw, C]
+
+        interp = bool(interpolate_pos_encoding) and (nh * nw != cfg.num_patches or nh != nw)
+        if interp:
+            patch_pos = self._interp_patch_pos(nh, nw)
+        else:
+            patch_pos = self.position_embeddings[:, 1:]
+
+        if self.variant == "nocls":
+            tokens = tokens + patch_pos.astype(self.dtype)
+        elif self.variant == "cls":
+            cls = jnp.broadcast_to(self.cls_token, (b, 1, cfg.hidden_size)).astype(self.dtype)
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+            pos = jnp.concatenate([self.position_embeddings[:, :1], patch_pos], axis=1)
+            tokens = tokens + pos.astype(self.dtype)
+        elif self.variant == "reg":
+            cls = jnp.broadcast_to(self.cls_token, (b, 1, cfg.hidden_size)).astype(self.dtype)
+            reg = jnp.broadcast_to(
+                self.reg_token, (b, self.num_reg_tokens, cfg.hidden_size)
+            ).astype(self.dtype)
+            tokens = jnp.concatenate([cls, tokens, reg], axis=1)
+            pos = jnp.concatenate(
+                [self.position_embeddings[:, :1], patch_pos, self.reg_pos_embed], axis=1
+            )
+            tokens = tokens + pos.astype(self.dtype)
+        else:
+            raise ValueError(f"unknown variant {self.variant}")
+
+        for block in self.blocks:
+            tokens = block(tokens)
+        return self.final_layernorm(tokens)
+
+
+def build_backbone(
+    model_name: str,
+    pretrained: bool = False,
+    image_size: int = 224,
+    dtype: Any = jnp.float32,
+    **kwargs: Any,
+) -> ViTBackbone:
+    """Backbone factory dispatching on "reg"/"nocls"/"deit" substrings,
+    mirroring reference build_backbone (backbones.py:506-526).
+
+    ``pretrained`` weight loading is handled by the caller via
+    theia_tpu.models.hf_convert (JAX is functional: modules are defs, weights
+    are pytrees).
+    """
+    if model_name not in BACKBONE_CONFIGS:
+        raise NotImplementedError(f"Requested {model_name} is not implemented.")
+    cfg = dataclasses.replace(BACKBONE_CONFIGS[model_name], image_size=image_size)
+    if "reg" in model_name:
+        num_reg = kwargs.pop("num_reg_tokens", 7)
+        return ViTBackbone(cfg, variant="reg", num_reg_tokens=num_reg, dtype=dtype)
+    elif "nocls" in model_name:
+        return ViTBackbone(cfg, variant="nocls", dtype=dtype)
+    elif "deit" in model_name:
+        return ViTBackbone(cfg, variant="cls", dtype=dtype)
+    raise NotImplementedError(f"Requested {model_name} is not implemented.")
