@@ -1,0 +1,248 @@
+"""Adapter heads: map student tokens to each teacher's feature geometry.
+
+NHWC re-design of the reference heads (reference:
+src/theia/models/adapter_heads.py):
+  - LinearAdapterHead   (:28-58)  — CLS-only targets, single Linear.
+  - MLPAdapterHead      (:61-127) — nearest-resize to target HW, then MLP.
+  - ConvAdapterHead     (:130-229) — conv/deconv ladders ending in a conv.
+  - LightConvAdapterHead(:232-359) — production; ladders ending in a Linear.
+
+All spatial ladders keep the reference's exact shape arithmetic
+(14 -pad-> 16 -> 31 -> 64, 64 -> 32 -> 16, 14 -> 7) and torch LayerNorm over
+the full (C,H,W) map. Submodule names encode the torch nn.Sequential indices
+("adapter_1" == adapter[1]) so reference checkpoints convert mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from theia_tpu.models.layers import (
+    Conv2dTorch,
+    ConvTranspose2dTorch,
+    DenseTorch,
+    LayerNormSpatial,
+)
+from theia_tpu.ops.image import interpolate_nearest
+
+Size = tuple[int, ...]
+
+
+def _to_map(x: jax.Array, h: int, w: int) -> jax.Array:
+    """[B, H*W, C] -> [B, H, W, C]."""
+    b, hw, c = x.shape
+    return x.reshape(b, h, w, c)
+
+
+def _to_tokens(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, H*W, C]."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c)
+
+
+class LinearAdapterHead(nn.Module):
+    """CLS-token -> Linear; used for `<teacher>_cls` targets
+    (reference: adapter_heads.py:28-58)."""
+
+    source_size: Size
+    target_size: Size
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, backbone_no_cls: bool = False) -> jax.Array:
+        assert not backbone_no_cls, "LinearAdapterHead requires a CLS token"
+        x = x[:, 0]
+        return DenseTorch(
+            self.target_size[0], self.source_size[0], dtype=self.dtype, name="adapter_0"
+        )(x)
+
+
+class MLPAdapterHead(nn.Module):
+    """Nearest-resize to target HW, then an MLP over channels
+    (reference: adapter_heads.py:61-127)."""
+
+    source_size: Size
+    target_size: Size
+    num_layer: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, backbone_no_cls: bool = False) -> jax.Array:
+        assert self.num_layer >= 1
+        if not backbone_no_cls:
+            x = x[:, 1:]
+        c_s, h_s, w_s = self.source_size[0], self.source_size[1], self.source_size[2]
+        c_t, h_t, w_t = self.target_size[0], self.target_size[1], self.target_size[2]
+        if h_s != h_t:
+            x = _to_tokens(interpolate_nearest(_to_map(x, h_s, w_s), h_t, w_t))
+        if self.num_layer == 1:
+            return DenseTorch(c_t, c_s, dtype=self.dtype, name="adapter_0")(x)
+        hidden = c_s * 2
+        x = DenseTorch(hidden, c_s, dtype=self.dtype, name="adapter_0")(x)
+        idx = 1
+        for _ in range(self.num_layer - 2):
+            x = jax.nn.relu(x)
+            idx += 1
+            x = DenseTorch(hidden, hidden, dtype=self.dtype, name=f"adapter_{idx}")(x)
+            idx += 1
+        x = jax.nn.relu(x)
+        idx += 1
+        return DenseTorch(c_t, hidden, dtype=self.dtype, name=f"adapter_{idx}")(x)
+
+
+class _PadTo16(nn.Module):
+    """ConvTranspose2d(k=3, s=1) pad from (any<=14) to 16
+    (reference: adapter_heads.py:279-289). torch Sequential index 1."""
+
+    channels: int
+    source_spatial: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return ConvTranspose2dTorch(
+            self.channels,
+            self.channels,
+            kernel_size=3,
+            stride=1,
+            output_padding=14 - self.source_spatial,
+            dtype=self.dtype,
+            name="pad_1",
+        )(x)
+
+
+class ConvAdapterHead(nn.Module):
+    """Conv ladder head ending in a conv (reference: adapter_heads.py:130-229)."""
+
+    source_size: Size
+    target_size: Size
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, backbone_no_cls: bool = False) -> jax.Array:
+        if not backbone_no_cls:
+            x = x[:, 1:]
+        c_s, s_s = self.source_size[0], self.source_size[1]
+        c_t, s_t = self.target_size[0], self.target_size[1]
+        hidden = c_s * 2
+        x = _to_map(x, s_s, self.source_size[2])
+        if s_s < 12:
+            raise NotImplementedError("feature spatial size smaller than 12x12 is not supported.")
+        elif s_s < 16:
+            x = _PadTo16(c_s, s_s, dtype=self.dtype, name="pad")(x)
+            s_s = 16
+        elif s_s not in (16, 64):
+            raise NotImplementedError(
+                "feature spatial size (>=16x16) other than 16x16 and 64x64 is not supported."
+            )
+
+        ln = lambda c, s, name: LayerNormSpatial((c, s, s), dtype=self.dtype, name=name)
+        if s_s < s_t:  # 16 -> 64
+            x = ln(c_s, 16, "adapter_0")(x)
+            x = ConvTranspose2dTorch(hidden, c_s, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 31
+            x = jax.nn.relu(x)
+            x = ln(hidden, 31, "adapter_3")(x)
+            x = ConvTranspose2dTorch(hidden, hidden, 3, stride=2, output_padding=1, dtype=self.dtype, name="adapter_4")(x)  # 64
+            x = jax.nn.relu(x)
+            x = ln(hidden, 64, "adapter_6")(x)
+            x = ConvTranspose2dTorch(c_t, hidden, 3, stride=1, padding=1, dtype=self.dtype, name="adapter_7")(x)  # 64
+        elif s_s == s_t:  # 16 -> 16
+            x = ln(c_s, s_s, "adapter_0")(x)
+            x = Conv2dTorch(hidden, c_s, 3, padding=1, dtype=self.dtype, name="adapter_1")(x)
+            x = jax.nn.relu(x)
+            x = ln(hidden, s_s, "adapter_3")(x)
+            x = Conv2dTorch(hidden, hidden, 3, padding=1, dtype=self.dtype, name="adapter_4")(x)
+            x = jax.nn.relu(x)
+            x = ln(hidden, s_s, "adapter_6")(x)
+            x = Conv2dTorch(c_t, hidden, 3, padding=1, dtype=self.dtype, name="adapter_7")(x)
+        else:  # 64 -> 16
+            x = ln(c_s, 64, "adapter_0")(x)
+            x = Conv2dTorch(hidden, c_s, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 32
+            x = jax.nn.relu(x)
+            x = ln(hidden, 32, "adapter_3")(x)
+            x = Conv2dTorch(hidden, hidden, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_4")(x)  # 16
+            x = jax.nn.relu(x)
+            x = ln(hidden, 16, "adapter_6")(x)
+            x = Conv2dTorch(c_t, hidden, 3, padding=1, dtype=self.dtype, name="adapter_7")(x)
+        return _to_tokens(x)
+
+
+class LightConvAdapterHead(nn.Module):
+    """Production head: conv/deconv ladder ending in a Linear
+    (reference: adapter_heads.py:232-359)."""
+
+    source_size: Size
+    target_size: Size
+    hidden_size_factor: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, backbone_no_cls: bool = False) -> jax.Array:
+        if self.source_size[1] != self.source_size[2] or self.target_size[1] != self.target_size[2]:
+            raise NotImplementedError("non-square feature maps are not supported.")
+        if not backbone_no_cls:
+            x = x[:, 1:]
+        c_s, s_s = self.source_size[0], self.source_size[1]
+        c_t, s_t = self.target_size[0], self.target_size[1]
+        hidden = int(c_s * self.hidden_size_factor)
+        x = _to_map(x, s_s, self.source_size[2])
+
+        if s_s < 12:
+            raise NotImplementedError("feature spatial size smaller than 12x12 is not supported.")
+        elif s_s < 16 and s_t >= 16:
+            x = _PadTo16(c_s, s_s, dtype=self.dtype, name="pad")(x)
+            s_s = 16
+        elif (s_s in (16, 64)) or (s_s == 14 and s_t == 14) or s_t < 14:
+            pass
+        else:
+            raise NotImplementedError(
+                "feature spatial size larger than 16x16 (other than 64x64) is not supported."
+            )
+
+        ln = lambda c, s, name: LayerNormSpatial((c, s, s), dtype=self.dtype, name=name)
+        if s_s == 16 and s_t == 64:
+            x = ln(c_s, 16, "adapter_0")(x)
+            x = ConvTranspose2dTorch(hidden, c_s, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 31
+            x = jax.nn.relu(x)
+            x = ln(hidden, 31, "adapter_3")(x)
+            x = ConvTranspose2dTorch(hidden, hidden, 3, stride=2, output_padding=1, dtype=self.dtype, name="adapter_4")(x)  # 64
+            x = jax.nn.relu(x)
+            x = ln(hidden, 64, "adapter_6")(x)
+            x = _to_tokens(x)
+            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_8")(x)
+        elif s_s == s_t:
+            x = ln(c_s, s_s, "adapter_0")(x)
+            x = Conv2dTorch(hidden, c_s, 3, padding=1, dtype=self.dtype, name="adapter_1")(x)
+            x = jax.nn.relu(x)
+            x = ln(hidden, s_s, "adapter_3")(x)
+            x = Conv2dTorch(hidden, hidden, 3, padding=1, dtype=self.dtype, name="adapter_4")(x)
+            x = jax.nn.relu(x)
+            x = ln(hidden, s_s, "adapter_6")(x)
+            x = _to_tokens(x)
+            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_8")(x)
+        elif s_s == 64 and s_t == 16:
+            x = ln(c_s, 64, "adapter_0")(x)
+            x = Conv2dTorch(hidden, c_s, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 32
+            x = jax.nn.relu(x)
+            x = ln(hidden, 32, "adapter_3")(x)
+            x = Conv2dTorch(hidden, hidden, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_4")(x)  # 16
+            x = jax.nn.relu(x)
+            x = ln(hidden, 16, "adapter_6")(x)
+            x = _to_tokens(x)
+            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_8")(x)
+        elif s_t == 7:
+            x = ln(c_s, s_s, "adapter_0")(x)
+            x = Conv2dTorch(hidden, c_s, 4, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 14 -> 7
+            x = jax.nn.relu(x)
+            x = ln(hidden, 7, "adapter_3")(x)
+            x = _to_tokens(x)
+            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_5")(x)
+        else:
+            # the reference forgets to raise here (adapter_heads.py:350) and
+            # crashes later; we fail loudly
+            raise NotImplementedError(f"{self.source_size} to {self.target_size} is not supported.")
+        return x

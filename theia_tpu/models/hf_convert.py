@@ -73,3 +73,160 @@ def convert_vit_backbone(
         }
     params["layernorm"] = _ln(sd, f"{p}layernorm")
     return params
+
+
+def _conv(sd: dict[str, np.ndarray], prefix: str) -> dict[str, np.ndarray]:
+    """torch Conv2d (O,I,kh,kw) -> HWIO."""
+    return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0), "bias": sd[f"{prefix}.bias"]}
+
+
+def _deconv(sd: dict[str, np.ndarray], prefix: str) -> dict[str, np.ndarray]:
+    """torch ConvTranspose2d (I,O,kh,kw) -> HWIO."""
+    return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 0, 1), "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln_spatial(sd: dict[str, np.ndarray], prefix: str) -> dict[str, np.ndarray]:
+    """torch LayerNorm((C,H,W)) weights kept verbatim (LayerNormSpatial)."""
+    return {"weight": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _ln_t(sd: dict[str, np.ndarray], prefix: str) -> dict[str, np.ndarray]:
+    """torch LayerNorm(C) -> LayerNormTorch (torch param naming)."""
+    return {"weight": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _legit(name: str) -> str:
+    return name.replace(".", "_").replace("/", "_")
+
+
+def convert_light_conv_head(
+    sd: dict[str, np.ndarray], prefix: str, source_spatial: int, target_spatial: int
+) -> dict[str, Any]:
+    """Convert one LightConvAdapterHead (reference adapter_heads.py:232-359)."""
+    out: dict[str, Any] = {}
+    s = source_spatial
+    if f"{prefix}pad.1.weight" in sd:
+        out["pad"] = {"pad_1": _deconv(sd, f"{prefix}pad.1")}
+        s = 16
+    if s == 16 and target_spatial == 64:
+        conv_fns = {1: _deconv, 4: _deconv}
+    elif target_spatial == 7:
+        out["adapter_0"] = _ln_spatial(sd, f"{prefix}adapter.0")
+        out["adapter_1"] = _conv(sd, f"{prefix}adapter.1")
+        out["adapter_3"] = _ln_spatial(sd, f"{prefix}adapter.3")
+        out["adapter_5"] = _dense(sd, f"{prefix}adapter.5")
+        return out
+    else:
+        conv_fns = {1: _conv, 4: _conv}
+    out["adapter_0"] = _ln_spatial(sd, f"{prefix}adapter.0")
+    out["adapter_1"] = conv_fns[1](sd, f"{prefix}adapter.1")
+    out["adapter_3"] = _ln_spatial(sd, f"{prefix}adapter.3")
+    out["adapter_4"] = conv_fns[4](sd, f"{prefix}adapter.4")
+    out["adapter_6"] = _ln_spatial(sd, f"{prefix}adapter.6")
+    out["adapter_8"] = _dense(sd, f"{prefix}adapter.8")
+    return out
+
+
+def convert_conv_head(
+    sd: dict[str, np.ndarray], prefix: str, source_spatial: int, target_spatial: int
+) -> dict[str, Any]:
+    """Convert one ConvAdapterHead (reference adapter_heads.py:130-229)."""
+    out: dict[str, Any] = {}
+    s = source_spatial
+    if f"{prefix}pad.1.weight" in sd:
+        out["pad"] = {"pad_1": _deconv(sd, f"{prefix}pad.1")}
+        s = 16
+    fns = {1: _deconv, 4: _deconv, 7: _deconv} if s < target_spatial else {1: _conv, 4: _conv, 7: _conv}
+    out["adapter_0"] = _ln_spatial(sd, f"{prefix}adapter.0")
+    out["adapter_1"] = fns[1](sd, f"{prefix}adapter.1")
+    out["adapter_3"] = _ln_spatial(sd, f"{prefix}adapter.3")
+    out["adapter_4"] = fns[4](sd, f"{prefix}adapter.4")
+    out["adapter_6"] = _ln_spatial(sd, f"{prefix}adapter.6")
+    out["adapter_7"] = fns[7](sd, f"{prefix}adapter.7")
+    return out
+
+
+def convert_mlp_head(sd: dict[str, np.ndarray], prefix: str) -> dict[str, Any]:
+    """Convert one MLPAdapterHead (all Linear layers at adapter.{even})."""
+    out: dict[str, Any] = {}
+    i = 0
+    while f"{prefix}adapter.{i}.weight" in sd:
+        out[f"adapter_{i}"] = _dense(sd, f"{prefix}adapter.{i}")
+        i += 1
+        while f"{prefix}adapter.{i}.weight" not in sd and i < 64:
+            i += 1
+    return out
+
+
+def convert_translator(
+    sd: dict[str, np.ndarray],
+    translator_type: str,
+    target_feature_sizes: Mapping[str, tuple[int, ...]],
+    backbone_spatial: int = 14,
+    prefix: str = "translator.",
+    translator_n_layers: int = 2,
+) -> dict[str, Any]:
+    """Convert a reference FeatureTranslator state dict subtree."""
+    params: dict[str, Any] = {}
+    if translator_type in ("mlp", "conv", "transformer", "trans"):
+        params["backbone_adapter"] = {
+            "adapter_0": _ln_t(sd, f"{prefix}backbone_adapter.0"),
+            "adapter_1": _dense(sd, f"{prefix}backbone_adapter.1"),
+        }
+    for t, size in target_feature_sizes.items():
+        hp = f"{prefix}translator_heads.{t.replace('.', '_')}."
+        name = f"head_{_legit(t)}"
+        if translator_type == "lconv":
+            if "_cls" in t:
+                params[name] = {"adapter_0": _dense(sd, hp + "adapter.0")}
+            else:
+                params[name] = convert_light_conv_head(sd, hp, backbone_spatial, size[1])
+        elif translator_type == "conv":
+            params[name] = convert_conv_head(sd, hp, backbone_spatial, size[1])
+        else:
+            params[name] = convert_mlp_head(sd, hp)
+    if translator_type in ("transformer", "trans"):
+        params["decode_tokens"] = sd[f"{prefix}decode_tokens"]
+        for t in target_feature_sizes:
+            params[f"target_model_emb_{_legit(t)}"] = sd[
+                f"{prefix}target_model_emb.{t.replace('.', '_')}"
+            ]
+        for i in range(translator_n_layers):
+            lp = f"{prefix}translator_stem.layers.{i}."
+            layer: dict[str, Any] = {}
+            for attn in ("self_attn", "multihead_attn"):
+                layer[attn] = {
+                    "in_proj_weight": sd[lp + attn + ".in_proj_weight"],
+                    "in_proj_bias": sd[lp + attn + ".in_proj_bias"],
+                    "out_proj": _dense(sd, lp + attn + ".out_proj"),
+                }
+            for m in ("norm1", "norm2", "norm3"):
+                layer[m] = _ln_t(sd, lp + m)
+            for m in ("linear1", "linear2"):
+                layer[m] = _dense(sd, lp + m)
+            params[f"stem_layer_{i}"] = layer
+    return params
+
+
+def convert_theia_checkpoint(
+    sd: dict[str, np.ndarray],
+    num_layers: int,
+    translator_type: str,
+    target_feature_sizes: Mapping[str, tuple[int, ...]],
+    variant: str = "cls",
+    backbone_spatial: int = 14,
+) -> dict[str, Any]:
+    """Convert a full reference RobotVisionFM.state_dict() (rvfm.py:77-87) to
+    a Theia param tree ({"backbone_module": ..., "translator_module": ...})."""
+    reg_sd = dict(sd)
+    if variant == "reg":
+        # reference stores reg params under embeddings.* of the inner model
+        reg_sd["backbone.model.embeddings.reg_token"] = sd["backbone.model.embeddings.reg_token"]
+    return {
+        "backbone_module": convert_vit_backbone(
+            reg_sd, num_layers, variant=variant, prefix="backbone.model."
+        ),
+        "translator_module": convert_translator(
+            sd, translator_type, target_feature_sizes, backbone_spatial, prefix="translator."
+        ),
+    }

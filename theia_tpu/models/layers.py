@@ -1,0 +1,159 @@
+"""Small NHWC layer wrappers with exact torch-default semantics.
+
+The reference's translator/adapter modules are plain torch modules
+(reference: src/theia/models/adapter_heads.py), so weights use torch default
+init (kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))) and LayerNorm is the
+plain torch one (eps=1e-5), including the LayerNorm over a full (C,H,W)
+feature map with per-element affine (adapter_heads.py:306,318,330).
+
+Parameters are stored in shapes that map 1:1 from torch state dicts:
+  Conv2dTorch.kernel:          HWIO  == torch (O,I,kh,kw).transpose(2,3,1,0)
+  ConvTranspose2dTorch.kernel: HWIO  == torch (I,O,kh,kw).transpose(2,3,0,1)
+  LayerNormSpatial.weight/bias: torch (C,H,W) kept verbatim.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from theia_tpu.ops.convt import conv_transpose_2d
+from theia_tpu.ops.init import (
+    torch_conv_init,
+    torch_conv_transpose_init,
+    torch_linear_bias_init,
+    torch_linear_init,
+)
+
+
+class DenseTorch(nn.Module):
+    """nn.Linear with torch default init; kernel stored (in, out)."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", torch_linear_init(), (self.in_features, self.features), jnp.float32
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_linear_bias_init(self.in_features), (self.features,), jnp.float32
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class Conv2dTorch(nn.Module):
+    """nn.Conv2d (NHWC) with torch default init and explicit int padding."""
+
+    features: int
+    in_features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_conv_init(), (k, k, self.in_features, self.features), jnp.float32
+        )
+        fan_in = k * k * self.in_features
+        bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """nn.ConvTranspose2d (NHWC) with torch shape/init semantics."""
+
+    features: int
+    in_features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            torch_conv_transpose_init(),
+            (k, k, self.in_features, self.features),
+            jnp.float32,
+        )
+        # torch computes bias fan_in on the (I,O,kh,kw) weight: O*k*k
+        fan_in = k * k * self.features
+        bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,), jnp.float32)
+        y = conv_transpose_2d(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
+class LayerNormTorch(nn.Module):
+    """nn.LayerNorm over the trailing channel dim (eps=1e-5)."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(self.dtype)
+
+
+class LayerNormSpatial(nn.Module):
+    """torch nn.LayerNorm((C,H,W)) applied to NHWC tensors.
+
+    Normalizes over all of (H,W,C) per sample with a per-element affine of
+    torch shape (C,H,W) (reference: adapter_heads.py:306,318,330 — the
+    LayerNorm-over-[C,H,W] the survey flags as easy to get axis-wrong).
+    """
+
+    shape_chw: tuple[int, int, int]
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c, h, w = self.shape_chw
+        weight = self.param("weight", nn.initializers.ones, (c, h, w), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c, h, w), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * weight.transpose(1, 2, 0) + bias.transpose(1, 2, 0)
+        return y.astype(self.dtype)
