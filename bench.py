@@ -1,0 +1,119 @@
+"""Benchmark: distillation train-step throughput on the real TPU chip.
+
+Headline metric (BASELINE.json): images/sec/chip at the Theia-Tiny distill
+step (cddsv 5-teacher set, lconv translator, bf16 compute) with the 5k
+img/s/chip target as baseline. Extra fields report Theia-Base distill
+throughput and forward_feature p50 latency.
+
+Timing method: the TPU here is attached over a network relay where
+block_until_ready returns before execution completes; only data readback
+truly synchronizes. Each measurement therefore chains N dependent steps,
+forces one scalar readback at the end, and reports (t_N - t_1)/(N - 1) so
+the relay round-trip cancels out.
+
+Prints ONE JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timed_chain(run_n, n_long: int = 30) -> float:
+    """Per-step seconds via (t_long - t_short)/(n_long - 1); run_n(n) must
+    execute n chained steps and end with a forced scalar readback."""
+    run_n(2)  # warm
+    t1 = run_n(1)
+    tn = run_n(n_long)
+    return max((tn - t1) / (n_long - 1), 1e-9)
+
+
+def _bench_distill(backbone: str, batch_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import CDDSV_TARGETS
+    from theia_tpu.models.rvfm import Theia
+    from theia_tpu.train.optim import constant_with_warmup, make_optimizer
+    from theia_tpu.train.state import TrainState
+    from theia_tpu.train.step import make_train_step
+
+    model = Theia(
+        backbone=backbone,
+        translator="lconv",
+        target_feature_sizes=CDDSV_TARGETS,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (batch_size, 224, 224, 3), np.uint8))
+    targets = {
+        k: jnp.asarray(rng.randn(batch_size, s[1] * s[2], s[0]).astype(np.float32), jnp.bfloat16)
+        for k, s in CDDSV_TARGETS.items()
+    }
+    params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
+    tx = make_optimizer(constant_with_warmup(1e-3, 100), weight_decay=0.01)
+    step = make_train_step(model, tx, main_loss="cos_l1")
+    state = TrainState.create(params, tx)
+
+    box = {"state": state}
+
+    def run_n(n: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            box["state"], metrics = step(box["state"], images, targets)
+        float(metrics["loss"])  # forced readback syncs the chain
+        return time.perf_counter() - t0
+
+    dt = _timed_chain(run_n)
+    return batch_size / dt, dt
+
+
+def _bench_forward_feature(backbone: str, batch_size: int = 1):
+    import jax
+    import jax.numpy as jnp
+
+    from theia_tpu.models.rvfm import Theia
+
+    model = Theia(backbone=backbone, translator="lconv", dtype=jnp.bfloat16)
+    images = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (batch_size, 224, 224, 3), np.uint8)
+    )
+    variables = model.init(jax.random.PRNGKey(0), images, method=model.forward_feature)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, method=model.forward_feature))
+
+    def run_n(n: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(variables, images)
+        float(out.sum())
+        return time.perf_counter() - t0
+
+    return _timed_chain(run_n, n_long=50) * 1000  # ms
+
+
+def main() -> None:
+    tiny_ips, tiny_dt = _bench_distill("facebook/deit-tiny-patch16-224", batch_size=256)
+    base_ips, base_dt = _bench_distill("facebook/deit-base-patch16-224", batch_size=64)
+    ff_p50 = _bench_forward_feature("facebook/deit-base-patch16-224")
+
+    result = {
+        "metric": "images/sec/chip theia-tiny cddsv distill step (bf16)",
+        "value": round(tiny_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tiny_ips / 5000.0, 3),
+        "extra": {
+            "theia_tiny_step_ms_b256": round(tiny_dt * 1000, 2),
+            "theia_base_images_per_sec": round(base_ips, 1),
+            "theia_base_step_ms_b64": round(base_dt * 1000, 2),
+            "forward_feature_base_p50_ms": round(ff_p50, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Config system tests: composition, group swaps, dotted overrides."""
+
+from theia_tpu.config import load_config, to_yaml
+
+
+def test_default_composition_matches_reference_tree():
+    cfg = load_config("train_rvfm_imagenet")
+    assert cfg.seed == 0
+    assert cfg.dataset.dataset_mix == ["imagenet"]
+    assert cfg.dataset.shuffle_buffer_size == 1024
+    assert cfg.model.backbone.backbone == "facebook/deit-small-patch16-224"
+    assert cfg.model.translator.type == "lconv"
+    assert cfg.model.translator.kwargs.hidden_size_factor == 1.0
+    assert cfg.training.epochs == 50
+    assert cfg.training.base_lr == 2e-3
+    assert cfg.training.main_loss == "cos_l1"
+    # nested group default: training -> target_models: cdiv
+    assert cfg.training.target_models.target_model_names == [
+        "google/vit-huge-patch14-224-in21k",
+        "facebook/dinov2-large",
+        "openai/clip-vit-large-patch14",
+    ]
+    assert cfg.logging.save_ckpt_interval == 20000
+    assert "seed" in to_yaml(cfg)
+
+
+def test_group_swap_and_value_overrides():
+    cfg = load_config(
+        "train_rvfm_imagenet",
+        overrides=[
+            "model/backbone=deit_reg",
+            "model/translator=mlp",
+            "training/target_models=cddsv",
+            "training.batch_size=32",
+            "training.grad_clip=true",
+            "dataset.dataset_ratio=1.0",
+        ],
+    )
+    assert cfg.model.backbone.backbone == "reg-facebook/deit-tiny-patch16-224"
+    assert cfg.model.backbone.num_reg_tokens == 7
+    assert cfg.model.translator.type == "mlp"
+    assert len(cfg.training.target_models.target_model_names) == 5
+    assert cfg.training.batch_size == 32
+    assert cfg.training.grad_clip is True
+    assert cfg.dataset.dataset_ratio == 1.0
+
+
+def test_all_teacher_set_configs_load():
+    for name in ["cdds", "cddsv", "cddv", "cdesv", "cdis", "cdisv", "cdiv",
+                 "clip", "ddsv", "depth_anything", "dinov2", "sam", "vit"]:
+        cfg = load_config("train_rvfm_imagenet", overrides=[f"training/target_models={name}"])
+        assert len(cfg.training.target_models.target_model_names) >= 1

@@ -1,0 +1,184 @@
+"""Data-plane tests: shard round trip, key-join, mixing, batching."""
+
+import numpy as np
+import pytest
+
+from theia_tpu.data.dataset import (
+    RandomMix,
+    get_frame_dataloader,
+    get_image_video_dataset,
+    normalize_ds_weights_by_ds_len,
+    pad_shard_paths,
+)
+from theia_tpu.data.stats import BFLOAT16, load_feature_stats, normalize_feature
+from theia_tpu.data.synthetic import generate_synthetic_dataset
+from theia_tpu.data.webdataset import (
+    ShardWriter,
+    check_existing_shard,
+    encode_image_npy,
+    iter_samples,
+    save_safetensors_np,
+    load_safetensors_np,
+    decode_image_npy,
+)
+
+MODELS = {
+    "facebook/dinov2-large": (32, 16, 16),
+    "facebook/sam-vit-huge": (16, 64, 64),
+}
+
+
+def test_shard_round_trip(tmp_path):
+    path = str(tmp_path / "x-000000-train.tar")
+    img = np.random.RandomState(0).randint(0, 256, (224, 224, 3), np.uint8)
+    feat = np.random.RandomState(1).randn(8, 4, 4).astype(np.float32)
+    with ShardWriter(path) as w:
+        w.write("k0.image", encode_image_npy(img))
+        w.write("k0.m.safetensors", save_safetensors_np({"embedding": feat}))
+        w.write("k1.image", encode_image_npy(img[::-1].copy()))
+    samples = list(iter_samples(path))
+    assert [k for k, _ in samples] == ["k0", "k1"]
+    np.testing.assert_array_equal(decode_image_npy(samples[0][1]["image"]), img)
+    got = load_safetensors_np(samples[0][1]["m.safetensors"])["embedding"]
+    np.testing.assert_array_equal(got, feat)
+
+    ok, counts = check_existing_shard(path, ["image", "safetensors"])
+    assert ok == 1 and counts["image"] == 2 and counts["safetensors"] == 1
+    ok, _ = check_existing_shard(str(tmp_path / "missing.tar"), ["image"])
+    assert ok == 0
+
+
+def test_safetensors_codec_matches_official_torch():
+    """Our native codec must interop with the official safetensors library
+    (the reference writes bf16 via safetensors.torch)."""
+    import torch
+    from safetensors.torch import load as st_load, save as st_save
+
+    import ml_dtypes
+
+    feats = {
+        "embedding": np.random.RandomState(0).randn(8, 4, 4).astype(np.float32).astype(ml_dtypes.bfloat16),
+        "cls_token": np.random.RandomState(1).randn(8).astype(np.float32),
+    }
+    # ours -> official torch load
+    blob = save_safetensors_np(feats)
+    t = st_load(blob)
+    assert t["embedding"].dtype == torch.bfloat16
+    np.testing.assert_array_equal(
+        t["embedding"].float().numpy(), np.asarray(feats["embedding"], np.float32)
+    )
+    # official torch save -> ours
+    blob2 = st_save({k: torch.from_numpy(np.asarray(v, np.float32)).to(
+        torch.bfloat16 if k == "embedding" else torch.float32) for k, v in feats.items()})
+    back = load_safetensors_np(blob2)
+    assert back["embedding"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(back["embedding"], np.float32), np.asarray(feats["embedding"], np.float32)
+    )
+
+
+def test_decode_image_gray_and_rgba():
+    gray = np.random.RandomState(0).randint(0, 256, (8, 8), np.uint8)
+    out = decode_image_npy(encode_image_npy(gray))
+    assert out.shape == (8, 8, 3)
+    rgba = np.random.RandomState(1).randint(0, 256, (8, 8, 4), np.uint8)
+    out = decode_image_npy(encode_image_npy(rgba))
+    assert out.shape == (8, 8, 3)
+
+
+def test_pad_shard_paths():
+    assert pad_shard_paths(["a", "b", "c"], 2) == ["a", "b", "c", "a"]
+    assert pad_shard_paths(["a"], 4) == ["a", "a", "a", "a"]
+    assert pad_shard_paths(["a", "b"], 2) == ["a", "b"]
+    assert len(pad_shard_paths(["a", "b", "c"], 8)) == 8
+
+
+def test_normalize_ds_weights():
+    w, total = normalize_ds_weights_by_ds_len([1.0, 2.0], [100, 50])
+    assert total == 200
+    assert w == [0.5, 0.5]
+    with pytest.raises(ValueError):
+        normalize_ds_weights_by_ds_len([1.0], [0])
+
+
+def test_random_mix_respects_probs_and_exhaustion():
+    a = [("a", i) for i in range(50)]
+    b = [("b", i) for i in range(10)]
+    mix = list(RandomMix([a, b], probs=[0.8, 0.2], seed=0))
+    assert len(mix) == 60  # all_exhausted: every sample seen
+    assert [x for x in mix if x[0] == "b"][:1]  # b present
+
+    first = list(RandomMix([a, b], probs=[0.5, 0.5], stopping_strategy="first_exhausted", seed=0))
+    assert len(first) < 60
+
+
+def test_end_to_end_dataset_and_loader(tmp_path):
+    root = str(tmp_path)
+    generate_synthetic_dataset(root, feature_models=MODELS, n_train=24, n_val=8, samples_per_shard=8)
+
+    ds, expected = get_image_video_dataset(
+        dataset_root=root,
+        feature_models=list(MODELS),
+        dataset_mix=["imagenet"],
+        split="train",
+        feature_norm=True,
+        stats_root=root,
+        seed=0,
+        shuffle=True,
+    )
+    assert expected == 24
+    loader = get_frame_dataloader(ds, batch_size=4, shuffle=True, shuffle_buffer_size=8, seed=0)
+    batches = list(loader)
+    assert len(batches) == 6
+    b = batches[0]
+    assert b["image"].shape == (4, 224, 224, 3) and b["image"].dtype == np.uint8
+    emb = b["facebook/dinov2-large"]["embedding"]
+    assert emb.shape == (4, 256, 32) and emb.dtype == BFLOAT16
+    assert b["facebook/dinov2-large"]["cls"].shape == (4, 32)
+    assert b["facebook/sam-vit-huge"]["embedding"].shape == (4, 4096, 16)
+
+
+def test_rank_splitting_disjoint(tmp_path):
+    root = str(tmp_path)
+    generate_synthetic_dataset(root, feature_models=MODELS, n_train=32, n_val=8, samples_per_shard=8)
+
+    def keys_for(rank, world):
+        ds, _ = get_image_video_dataset(
+            dataset_root=root, feature_models=list(MODELS), dataset_mix=["imagenet"],
+            split="train", rank=rank, world_size=world, seed=0,
+        )
+        return [tuple(s["image"][0, :4, 0]) for s in ds]
+
+    k0 = keys_for(0, 2)
+    k1 = keys_for(1, 2)
+    assert len(k0) == len(k1) == 16
+    assert set(map(tuple, k0)).isdisjoint(set(map(tuple, k1)))
+
+
+def test_misaligned_columns_raise(tmp_path):
+    root = str(tmp_path)
+    generate_synthetic_dataset(root, feature_models={"m/a": (8, 4, 4)}, n_train=8, n_val=2, samples_per_shard=8)
+    # corrupt the feature shard: rewrite with wrong keys
+    import glob as g
+
+    fshard = g.glob(str(tmp_path / "imagenet" / "m_a" / "*-train.tar"))[0]
+    feat = np.zeros((8, 4, 4), np.float32)
+    with ShardWriter(fshard) as w:
+        for i in range(8):
+            w.write(f"WRONG_{i}.m_a.safetensors", save_safetensors_np({"embedding": feat}))
+    ds, _ = get_image_video_dataset(
+        dataset_root=root, feature_models=["m/a"], dataset_mix=["imagenet"], split="train", seed=0
+    )
+    with pytest.raises(ValueError, match="misalignment"):
+        next(iter(ds))
+
+
+def test_feature_stats_round_trip(tmp_path):
+    root = str(tmp_path)
+    c = 16
+    np.save(tmp_path / "imagenet_mean_m_a.npy", np.full(c, 2.0, np.float32))
+    np.save(tmp_path / "imagenet_var_m_a.npy", np.full(c, 4.0, np.float32))
+    means, stds = load_feature_stats(root, ["m/a"])
+    x = np.ones((3, c), BFLOAT16)
+    out = normalize_feature(x, means["m/a"], stds["m/a"])
+    np.testing.assert_allclose(np.asarray(out, np.float32), -0.25)

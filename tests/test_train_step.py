@@ -1,0 +1,227 @@
+"""Train-step tests: DP-mesh execution, optimizer/schedule parity vs torch,
+freeze/clip semantics."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from theia_tpu.models.rvfm import Theia
+from theia_tpu.models import vit as jvit
+from theia_tpu.parallel.mesh import make_mesh, shard_batch
+from theia_tpu.train.optim import (
+    constant_with_warmup,
+    cosine_restarts_with_warmup,
+    make_optimizer,
+    no_weight_decay_mask,
+    scaled_lr,
+)
+from theia_tpu.train.state import TrainState
+from theia_tpu.train.step import make_eval_step, make_train_step
+
+TARGETS = {"teacher/a": (24, 16, 16), "teacher/b": (12, 64, 64)}
+
+
+@pytest.fixture(scope="module")
+def tiny_theia():
+    orig = jvit.BACKBONE_CONFIGS["facebook/deit-tiny-patch16-224"]
+    jvit.BACKBONE_CONFIGS["facebook/deit-tiny-patch16-224"] = dataclasses.replace(orig, num_layers=2)
+    model = Theia(
+        backbone="facebook/deit-tiny-patch16-224",
+        translator="lconv",
+        target_feature_sizes=TARGETS,
+    )
+    imgs = jnp.zeros((2, 224, 224, 3), jnp.uint8)
+    params = model.init(jax.random.PRNGKey(0), imgs)["params"]
+    yield model, params
+    jvit.BACKBONE_CONFIGS["facebook/deit-tiny-patch16-224"] = orig
+
+
+def _batch(b, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, size=(b, 224, 224, 3), dtype=np.uint8)
+    targets = {
+        "teacher/a": rng.randn(b, 256, 24).astype(np.float32),
+        "teacher/b": rng.randn(b, 4096, 12).astype(np.float32),
+    }
+    return jnp.asarray(imgs), jax.tree.map(jnp.asarray, targets)
+
+
+def test_train_step_learns_and_dp_matches_single_device(tiny_theia):
+    model, params = tiny_theia
+    tx = make_optimizer(1e-3, weight_decay=0.01)
+
+    imgs, targets = _batch(8)
+
+    # single-device
+    step1 = make_train_step(model, tx, donate=False)
+    s0 = TrainState.create(params, tx)
+    s1, m1 = step1(s0, imgs, targets)
+
+    # 8-device DP mesh
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    stepm = make_train_step(model, tx, mesh=mesh, donate=False)
+    sm0 = TrainState.create(params, tx)
+    sm1, m2 = stepm(sm0, *shard_batch(mesh, (imgs, targets)))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # psum reduction order differs from a single full-batch sum; Adam's
+    # first-step rsqrt amplifies that — tolerance is numeric, not semantic
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, sm1.params)
+    assert max(jax.tree.leaves(diffs)) < 5e-5
+
+    # loss decreases over a few steps on a fixed batch
+    s = sm1
+    losses = [float(m2["loss"])]
+    for _ in range(5):
+        s, m = stepm(s, *shard_batch(mesh, (imgs, targets)))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    evalm = make_eval_step(model, mesh=mesh)
+    em = evalm(s.params, *shard_batch(mesh, (imgs, targets)))
+    assert float(em["loss"]) < losses[0]
+
+
+def test_loss_masks_affect_gradients(tiny_theia):
+    model, params = tiny_theia
+    tx = make_optimizer(1e-3)
+    step = make_train_step(model, tx, donate=False)
+    imgs, targets = _batch(2)
+    masks_a = {"teacher/a": jnp.asarray(1.0), "teacher/b": jnp.asarray(0.0)}
+    s0 = TrainState.create(params, tx)
+    _, m = step(s0, imgs, targets, masks_a)
+    # head b must receive zero gradient -> its params unchanged
+    s1, _ = step(s0, imgs, targets, masks_a)
+    head_b = s1.params["translator_module"]["head_teacher_b"]
+    head_b0 = params["translator_module"]["head_teacher_b"]
+    assert max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), head_b, head_b0))) == 0.0
+    head_a = s1.params["translator_module"]["head_teacher_a"]
+    head_a0 = params["translator_module"]["head_teacher_a"]
+    assert max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), head_a, head_a0))) > 0.0
+
+
+def test_freeze_translator(tiny_theia):
+    model, params = tiny_theia
+    tx = make_optimizer(1e-3)
+    step = make_train_step(model, tx, freeze_translator=True, freeze_translator_start_step=0, donate=False)
+    imgs, targets = _batch(2)
+    s0 = TrainState.create(params, tx)
+    s1, _ = step(s0, imgs, targets)
+    tr1 = jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                                       s1.params["translator_module"], params["translator_module"]))
+    bb1 = jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                                       s1.params["backbone_module"], params["backbone_module"]))
+    assert max(tr1) == 0.0
+    assert max(bb1) > 0.0
+
+
+def test_adamw_matches_torch():
+    """5 AdamW steps with identical grads: our masked optax vs torch groups."""
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(8, 4).astype(np.float32)
+    b0 = rng.randn(4).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    topt = torch.optim.AdamW(
+        [{"params": [tb], "weight_decay": 0.0}, {"params": [tw], "weight_decay": 0.01}],
+        lr=1e-3, betas=(0.9, 0.999),
+    )
+
+    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    tx = make_optimizer(1e-3, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    for i in range(5):
+        gw = rng.randn(8, 4).astype(np.float32)
+        gb = rng.randn(4).astype(np.float32)
+        tw.grad = torch.from_numpy(gw.copy())
+        tb.grad = torch.from_numpy(gb.copy())
+        topt.step()
+        grads = {"dense": {"kernel": jnp.asarray(gw), "bias": jnp.asarray(gb)}}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["dense"]["kernel"]), tw.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["dense"]["bias"]), tb.detach().numpy(), atol=1e-6)
+
+
+def test_schedules_match_torch():
+    from torch.optim.lr_scheduler import (
+        ConstantLR,
+        CosineAnnealingWarmRestarts,
+        LinearLR,
+        SequentialLR,
+    )
+
+    lr = 2e-3
+    warm = 10
+    t0 = 40
+
+    def torch_lrs(make):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.AdamW([p], lr=lr)
+        sched = make(opt)
+        out = []
+        for _ in range(60):
+            out.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sched.step()
+        return np.asarray(out)
+
+    # constant with warmup (lr_schedulers.py:41-77)
+    want = torch_lrs(lambda o: SequentialLR(
+        o,
+        [LinearLR(o, start_factor=1e-2, end_factor=1.0, total_iters=warm), ConstantLR(o, factor=1.0)],
+        milestones=[warm],
+    ))
+    sched = constant_with_warmup(lr, warm)
+    got = np.asarray([float(sched(i)) for i in range(60)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # cosine restarts with warmup (lr_schedulers.py:8-38)
+    want = torch_lrs(lambda o: SequentialLR(
+        o,
+        [LinearLR(o, start_factor=1e-2, end_factor=1.0, total_iters=warm),
+         CosineAnnealingWarmRestarts(o, T_0=t0, T_mult=1)],
+        milestones=[warm],
+    ))
+    sched = cosine_restarts_with_warmup(lr, warm, t0)
+    got = np.asarray([float(sched(i)) for i in range(60)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+
+
+def test_lr_scaling_rule():
+    # train_rvfm.py:299-301
+    assert scaled_lr(2e-3, 16, 8) == pytest.approx(2e-3 * (16 * 8) / (64 * 8))
+
+
+def test_no_weight_decay_mask_semantics():
+    params = {
+        "backbone_module": {"patch_kernel": jnp.zeros((768, 192)), "patch_bias": jnp.zeros((192,))},
+        "translator_module": {
+            "head_x": {
+                "adapter_0": {"weight": jnp.zeros((20, 14, 14)), "bias": jnp.zeros((20, 14, 14))},
+                "adapter_8": {"kernel": jnp.zeros((20, 24)), "bias": jnp.zeros((24,))},
+            }
+        },
+    }
+    mask = no_weight_decay_mask(params)
+    assert mask["backbone_module"]["patch_kernel"] is True
+    assert mask["backbone_module"]["patch_bias"] is False
+    # (C,H,W) LayerNorm weight gets decay in the reference (ndim>1, not bias)
+    assert mask["translator_module"]["head_x"]["adapter_0"]["weight"] is True
+    assert mask["translator_module"]["head_x"]["adapter_0"]["bias"] is False
+    assert mask["translator_module"]["head_x"]["adapter_8"]["kernel"] is True
+    assert mask["translator_module"]["head_x"]["adapter_8"]["bias"] is False

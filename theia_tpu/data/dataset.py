@@ -1,0 +1,350 @@
+"""Host-side streaming input pipeline over webdataset-format shards.
+
+TPU-first redesign of the reference pipeline
+(reference: src/theia/dataset/data_utils.py):
+
+- The reference builds an independent WebDataset per column (image + one per
+  teacher), mixes each column separately with identically-seeded RNGs, and
+  zips loaders relying on implicit ordering (data_utils.py:405-591). Here
+  columns are zipped FIRST with an explicit sample-key assertion, and mixing
+  happens once at the sample level — same distribution, no silent
+  misalignment.
+- One process per TPU host: shards are split by (process_index,
+  process_count) with path padding (data_utils.py:383-402), mirroring
+  wds.split_by_node.
+- Batches are numpy dicts {"image": uint8 [B,H,W,C], teacher: {"embedding":
+  [B,H*W,C] bf16, "cls": [C]}} ready for jax.device_put, with a background
+  prefetch thread.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import queue
+import threading
+from collections import OrderedDict
+from typing import Any, Callable, Generator, Iterable, Iterator, Literal, Optional
+
+import numpy as np
+
+from theia_tpu.data.stats import load_feature_stats, normalize_feature
+from theia_tpu.data.webdataset import decode_image_npy, iter_samples, load_safetensors_np
+
+
+def normalize_ds_weights_by_ds_len(
+    weights: list[float], lengths: list[int]
+) -> tuple[list[float], float | Literal[0]]:
+    """Weights proportional to weight*length (data_utils.py:34-49)."""
+    expected = [w * l for w, l in zip(weights, lengths)]
+    total = sum(expected)
+    if total == 0:
+        raise ValueError("Sum of dataset length is 0.")
+    return [l / total for l in expected], total
+
+
+def pad_shard_paths(shard_paths: list[str], num_parts: int) -> list[str]:
+    """Repeat shard paths cyclically until len % num_parts == 0
+    (semantics of reference pad_shard_paths, data_utils.py:383-402)."""
+    paths = list(shard_paths)
+    n = len(paths)
+    if n == 0:
+        return paths
+    while len(paths) % num_parts != 0:
+        paths.append(shard_paths[len(paths) % n])
+    return paths
+
+
+class RandomMix:
+    """Probability-weighted interleave of sample iterators
+    (reference data_utils.py:85-134), with numpy seeded RNG."""
+
+    def __init__(
+        self,
+        datasets: list[Iterable],
+        probs: Optional[list[float]] = None,
+        stopping_strategy: str = "all_exhausted",
+        seed: int = 0,
+    ) -> None:
+        self.datasets = datasets
+        self.probs = list(probs) if probs is not None else [1.0] * len(datasets)
+        self.stopping_strategy = stopping_strategy
+        self.seed = seed
+
+    def __iter__(self) -> Generator:
+        sources = [iter(d) for d in self.datasets]
+        probs = self.probs[:]
+        rng = np.random.RandomState(self.seed)
+        cum = (np.asarray(probs) / np.sum(probs)).cumsum()
+        while sources:
+            i = int(np.searchsorted(cum, rng.rand()))
+            i = min(i, len(sources) - 1)
+            try:
+                yield next(sources[i])
+            except StopIteration:
+                if self.stopping_strategy == "all_exhausted":
+                    del sources[i]
+                    del probs[i]
+                    if not sources:
+                        break
+                    cum = (np.asarray(probs) / np.sum(probs)).cumsum()
+                else:
+                    break
+
+
+def _decode_feature(
+    fields: dict[str, bytes],
+    mean: Optional[np.ndarray],
+    std: Optional[np.ndarray],
+) -> dict[str, np.ndarray]:
+    """safetensors bytes -> {"embedding": [H*W, C], "cls": [C]} with optional
+    normalization (reference decode_sample; data_utils.py:151-161)."""
+    sft = load_safetensors_np(next(iter(fields.values())))
+    emb = sft["embedding"]  # [C, H, W]
+    c = emb.shape[0]
+    emb = emb.reshape(c, -1).T  # (h w) c
+    emb = normalize_feature(emb, mean, std)
+    out = {"embedding": np.ascontiguousarray(emb)}
+    if "cls_token" in sft:
+        out["cls"] = normalize_feature(sft["cls_token"], mean, std)
+    return out
+
+
+class _ZippedShardSet:
+    """One dataset member: iterate image + per-teacher feature shards in
+    lockstep, key-joined with explicit assertion."""
+
+    def __init__(
+        self,
+        image_shards: list[str],
+        feature_shards: dict[str, list[str]],  # model -> shard paths (aligned)
+        stats: Optional[tuple[dict, dict]] = None,
+        image_transform: Optional[Callable] = None,
+    ) -> None:
+        self.image_shards = image_shards
+        self.feature_shards = feature_shards
+        self.stats = stats
+        self.image_transform = image_transform
+        for model, paths in feature_shards.items():
+            if len(paths) != len(image_shards):
+                raise ValueError(
+                    f"column {model} has {len(paths)} shards but images have "
+                    f"{len(image_shards)} — columns must align 1:1"
+                )
+
+    def __iter__(self) -> Generator[dict[str, Any], None, None]:
+        models = list(self.feature_shards)
+        for si in range(len(self.image_shards)):
+            img_iter = iter_samples(self.image_shards[si])
+            feat_iters = {m: iter_samples(self.feature_shards[m][si]) for m in models}
+            for key, img_fields in img_iter:
+                sample: dict[str, Any] = {}
+                image = decode_image_npy(img_fields["image"])
+                if self.image_transform is not None:
+                    image = self.image_transform(image)
+                sample["image"] = image
+                ok = True
+                for m in models:
+                    try:
+                        fkey, ffields = next(feat_iters[m])
+                    except StopIteration:
+                        ok = False
+                        break
+                    if fkey != key:
+                        raise ValueError(
+                            f"column misalignment in shard {si}: image key {key!r} "
+                            f"vs {m} key {fkey!r} (the reference silently zips by "
+                            f"order; we key-join explicitly)"
+                        )
+                    if self.stats is not None:
+                        mean, std = self.stats[0].get(m), self.stats[1].get(m)
+                    else:
+                        mean = std = None
+                    sample[m] = _decode_feature(ffields, mean, std)
+                if ok:
+                    yield sample
+
+
+def get_image_video_dataset(
+    dataset_root: str,
+    feature_models: list[str],
+    dataset_mix: Optional[str | dict[str, float] | list] = None,
+    split: str = "train",
+    dataset_ratio: float = 1.0,
+    image_transform: Optional[Callable] = None,
+    feature_norm: bool = False,
+    stats_root: Optional[str] = None,
+    seed: int = 0,
+    shuffle: bool = False,
+    rank: int = 0,
+    world_size: int = 1,
+    **kwargs: Any,
+) -> tuple[RandomMix, float]:
+    """Build the mixed frame-level dataset (reference data_utils.py:405-528).
+
+    Returns (iterable over sample dicts, expected total length). ``rank`` /
+    ``world_size`` are (process_index, process_count) — each TPU host reads a
+    disjoint shard subset, mirroring wds.split_by_node.
+    """
+    import json
+
+    if isinstance(dataset_mix, dict):
+        dataset_mix = OrderedDict(**dataset_mix)
+    elif isinstance(dataset_mix, (list, tuple)):
+        dataset_mix = OrderedDict({d: 1.0 for d in dataset_mix})
+    elif isinstance(dataset_mix, str):
+        from theia_tpu.data.oxe import OXE_NAMED_MIXES
+
+        if dataset_mix not in OXE_NAMED_MIXES:
+            raise ValueError(f"unknown dataset mix {dataset_mix}")
+        dataset_mix = OrderedDict({k: v for k, v in OXE_NAMED_MIXES[dataset_mix]})
+    else:
+        raise ValueError(f"dataset_mix of {dataset_mix}:{type(dataset_mix)} is not supported.")
+
+    if split in ("eval", "val"):
+        dataset_mix = OrderedDict({d: 1.0 for d in dataset_mix})
+
+    stats = None
+    if feature_norm:
+        stats = load_feature_stats(stats_root or dataset_root, feature_models)
+
+    members: list[_ZippedShardSet] = []
+    weights: list[float] = []
+    lengths: list[int] = []
+    shard_rng = np.random.RandomState(seed)
+
+    for d in dataset_mix:
+        with open(os.path.join(dataset_root, d, "splits.json")) as f:
+            dataset_len = json.load(f)[split]
+        if dataset_len == 0:
+            continue
+
+        image_paths = sorted(glob.glob(os.path.join(dataset_root, d, "images", f"*-{split}.tar")))
+        if not image_paths:
+            raise FileNotFoundError(f"no image shards for {d} split {split} under {dataset_root}")
+        n = len(image_paths)
+        order = np.arange(n)
+        if shuffle:
+            shard_rng.shuffle(order)  # detshuffle: same permutation on all hosts
+
+        def _column(paths: list[str]) -> list[str]:
+            padded = pad_shard_paths([paths[i] for i in order], world_size)
+            return padded[rank::world_size]
+
+        image_shards = _column(image_paths)
+        feature_shards = {}
+        for m in feature_models:
+            mpaths = sorted(
+                glob.glob(os.path.join(dataset_root, d, m.replace("/", "_"), f"*-{split}.tar"))
+            )
+            if len(mpaths) != n:
+                raise FileNotFoundError(
+                    f"feature column {m} for {d} has {len(mpaths)} shards, images have {n}"
+                )
+            feature_shards[m] = _column(mpaths)
+
+        members.append(_ZippedShardSet(image_shards, feature_shards, stats, image_transform))
+        weights.append(dataset_mix[d])
+        lengths.append(math.ceil(dataset_len * dataset_ratio))
+
+    norm_weights, expected = normalize_ds_weights_by_ds_len(weights, lengths)
+    return RandomMix(members, probs=norm_weights, seed=seed), expected
+
+
+class _ShuffleBuffer:
+    def __init__(self, source: Iterable, size: int, seed: int) -> None:
+        self.source = source
+        self.size = size
+        self.seed = seed
+
+    def __iter__(self) -> Generator:
+        rng = np.random.RandomState(self.seed)
+        buf: list[Any] = []
+        for item in self.source:
+            if len(buf) < self.size:
+                buf.append(item)
+                continue
+            i = rng.randint(len(buf))
+            buf[i], item = item, buf[i]
+            yield item
+        rng.shuffle(buf)
+        yield from buf
+
+
+def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
+    """Stack a list of sample dicts into batched numpy arrays."""
+    out: dict[str, Any] = {}
+    first = samples[0]
+    for k, v in first.items():
+        if isinstance(v, dict):
+            out[k] = {f: np.stack([s[k][f] for s in samples]) for f in v}
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class _Prefetcher:
+    """Background-thread prefetch of ready batches (depth-bounded)."""
+
+    def __init__(self, source: Iterable, depth: int = 4) -> None:
+        self.source = source
+        self.depth = depth
+
+    def __iter__(self) -> Generator:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def worker() -> None:
+            try:
+                for item in self.source:
+                    q.put(item)
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def get_frame_dataloader(
+    dataset: Iterable,
+    batch_size: int,
+    shuffle: bool = False,
+    shuffle_buffer_size: int = 1000,
+    seed: int = 0,
+    prefetch: int = 4,
+    drop_last: bool = True,
+    **kwargs: Any,
+) -> Iterable[dict[str, Any]]:
+    """Batched loader with shuffle-after-mix buffer (data_utils.py:531-556)."""
+    source: Iterable = dataset
+    if shuffle:
+        source = _ShuffleBuffer(source, shuffle_buffer_size, seed)
+
+    def batches() -> Generator:
+        buf: list = []
+        for sample in source:
+            buf.append(sample)
+            if len(buf) == batch_size:
+                yield _collate(buf)
+                buf = []
+        if buf and not drop_last:
+            yield _collate(buf)
+
+    return _Prefetcher(batches(), depth=prefetch)
+
+
+def get_frame_iterator(loader: Iterable[dict[str, Any]]) -> Iterator[dict[str, Any]]:
+    """API parity with the reference zip-of-loaders (data_utils.py:559-591);
+    our loader already yields merged sample dicts."""
+    return iter(loader)

@@ -43,13 +43,12 @@ class DenseTorch(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_init(), (self.in_features, self.features), jnp.float32
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", torch_linear_bias_init(self.in_features), (self.features,), jnp.float32
             )
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y.astype(self.dtype)
 
 
@@ -71,15 +70,17 @@ class Conv2dTorch(nn.Module):
         )
         fan_in = k * k * self.in_features
         bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,), jnp.float32)
+        # no preferred_element_type: its VJP mixes f32 cotangents with the
+        # low-precision kernel and conv requires matching dtypes; TPU bf16
+        # convs accumulate in f32 on the MXU regardless
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return (y + bias).astype(self.dtype)
+        return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
 class ConvTranspose2dTorch(nn.Module):
@@ -111,9 +112,8 @@ class ConvTranspose2dTorch(nn.Module):
             stride=self.stride,
             padding=self.padding,
             output_padding=self.output_padding,
-            preferred_element_type=jnp.float32,
         )
-        return (y + bias).astype(self.dtype)
+        return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
 class LayerNormTorch(nn.Module):

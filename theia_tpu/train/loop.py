@@ -1,0 +1,304 @@
+"""Training orchestration: epochs, eval, checkpoints, metrics.
+
+TPU-native re-design of the reference runtime (reference:
+src/theia/scripts/train/train_rvfm.py:38-345): one python process per TPU
+host drives a single jitted train step over the ("data","model") mesh; the
+host loop only streams batches, rolls teacher subsets, throttles metric
+readback, and saves orbax checkpoints (with true resume — more than the
+reference's weights-only torch.save).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from theia_tpu.config import DotDict, to_yaml
+from theia_tpu.data.dataset import get_frame_dataloader, get_image_video_dataset
+from theia_tpu.foundation.common import MODEL_FEATURE_SIZES, get_model_feature_size
+from theia_tpu.models.rvfm import Theia
+from theia_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from theia_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from theia_tpu.train.optim import (
+    constant_with_warmup,
+    cosine_restarts_with_warmup,
+    make_optimizer,
+    scaled_lr,
+)
+from theia_tpu.train.state import TrainState
+from theia_tpu.train.step import make_eval_step, make_train_step
+from theia_tpu.utils.logging import MetricLogger, create_meters, update_meters_from_metrics
+from theia_tpu.utils.seed import seed_everything
+
+
+def select_target_models(cfg: DotDict) -> tuple[list[str], list[str], dict[str, tuple[int, ...]]]:
+    """Teacher selection incl. optional `<t>_cls` targets
+    (reference train_rvfm.py:230-246). Returns (all names, names w/o _cls,
+    target feature sizes)."""
+    names = list(cfg.training.target_models.target_model_names or [])
+    if not names:
+        names = list(MODEL_FEATURE_SIZES.keys())
+    names = [t for t in names if "llava" not in t]
+    sizes = {t: get_model_feature_size(t, keep_spatial=True) for t in names}
+    names_wocls = names[:]
+    if cfg.training.get("distill_cls", False):
+        for t in names_wocls:
+            if "google/vit" in t or "facebook/dino" in t or "openai/clip" in t:
+                sizes[t + "_cls"] = sizes[t][:1]
+                names.append(t + "_cls")
+    return names, names_wocls, sizes
+
+
+def build_run_identifier(cfg: DotDict) -> str:
+    """rvfm_dp<ratio>_<backbone>_<translator>[_pretrained]_<notes>
+    (reference train_rvfm.py:336-341)."""
+    backbone = f"_{cfg.model.backbone.backbone.replace('/', '-')}"
+    notes = f"_{cfg.logging.notes}" if cfg.logging.notes else ""
+    translator = f"_{cfg.model.translator.type}"
+    pretrained = "_pretrained" if cfg.model.backbone.get("pretrained") else ""
+    dp = f"_dp{cfg.dataset.dataset_ratio:.3f}"
+    return f"rvfm{dp}{backbone}{translator}{pretrained}{notes}"
+
+
+def build_lr_schedule(cfg: DotDict, lr: float, total_steps: int, warmup_steps: int):
+    name = cfg.training.lr_scheduler.get("name", "constant_with_warmup")
+    start = float(cfg.training.lr_scheduler.get("warm_up_lr_start_factor", 1e-2))
+    if name == "constant_with_warmup":
+        return constant_with_warmup(lr, warmup_steps, start)
+    if name == "cosine_restarts_with_warmup":
+        return cosine_restarts_with_warmup(
+            lr, warmup_steps, max(total_steps - warmup_steps, 1), start
+        )
+    raise NotImplementedError(f"lr_scheduler {name}")
+
+
+def _targets_from_batch(batch: dict, target_model_names: list[str]) -> dict[str, np.ndarray]:
+    """batch[teacher]["embedding"/"cls"] -> target dict
+    (reference train_rvfm.py:107-114)."""
+    out = {}
+    for t in target_model_names:
+        base = t.replace("_cls", "")
+        if "_cls" in t:
+            out[t] = batch[base]["cls"]
+        else:
+            out[t] = batch[base]["embedding"]
+    return out
+
+
+def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int] = None) -> dict:
+    """Full training entry (reference ddp_main + train; train_rvfm.py:221-345).
+
+    Returns a summary dict (final step, last losses) for tests/CLIs.
+    """
+    if not cfg.logging.get("run_identifier_prefix"):
+        cfg.logging.run_identifier_prefix = build_run_identifier(cfg)
+    seed_everything(cfg.seed)
+
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+    is_main = process_index == 0
+
+    target_model_names, names_wocls, target_sizes = select_target_models(cfg)
+
+    dtype = jnp.bfloat16 if cfg.training.get("compute_dtype", "bfloat16") == "bfloat16" else jnp.float32
+    model = Theia(
+        backbone=cfg.model.backbone.backbone,
+        pretrained=cfg.model.backbone.get("pretrained", False),
+        translator=cfg.model.translator.type,
+        translator_kwargs=dict(cfg.model.translator.get("kwargs", {}) or {}),
+        target_feature_sizes=target_sizes,
+        target_loss_weights=cfg.training.target_models.get("target_model_weights"),
+        num_reg_tokens=int(cfg.model.backbone.get("num_reg_tokens", 7) or 7),
+        dtype=dtype,
+    )
+
+    mesh = make_mesh()
+    n_chips = int(mesh.devices.size)
+
+    ds_kwargs = dict(
+        dataset_root=cfg.dataset.dataset_root,
+        dataset_mix=list(cfg.dataset.dataset_mix),
+        feature_models=names_wocls,
+        feature_norm=cfg.dataset.feature_norm,
+        stats_root=cfg.dataset.get("stats_root"),
+        rank=process_index,
+        world_size=process_count,
+        seed=cfg.seed,
+    )
+    train_ds, train_len = get_image_video_dataset(
+        split="train", dataset_ratio=cfg.dataset.dataset_ratio, shuffle=cfg.dataset.shuffle,
+        **ds_kwargs,
+    )
+    eval_ds, eval_len = get_image_video_dataset(
+        split="val", dataset_ratio=0.1, shuffle=False, **ds_kwargs
+    )
+
+    # global batch = per-host batch * host count; steps math mirrors
+    # train_rvfm.py:294-301 with world_size == number of chips
+    batch_size = int(cfg.training.batch_size)  # per chip
+    global_batch = batch_size * n_chips
+    host_batch = global_batch // process_count
+    train_epoch_steps = math.ceil(train_len / batch_size / n_chips)
+    eval_epoch_steps = math.ceil(eval_len / batch_size / n_chips)
+    if max_steps is not None:
+        train_epoch_steps = min(train_epoch_steps, max_steps)
+        eval_epoch_steps = min(eval_epoch_steps, max(max_steps // 4, 1))
+    total_train_steps = train_epoch_steps * cfg.training.epochs
+    warmup_steps = int(cfg.training.warm_up_steps_ratio * total_train_steps)
+
+    lr = scaled_lr(
+        float(cfg.training.base_lr), batch_size, n_chips,
+        int(cfg.training.base_batch_size), int(cfg.training.base_world_size),
+    )
+    schedule = build_lr_schedule(cfg, lr, total_train_steps, warmup_steps)
+    tx = make_optimizer(
+        schedule,
+        weight_decay=float(cfg.training.weight_decay),
+        betas=tuple(cfg.training.optimizer.get("betas", (0.9, 0.999))),
+        eps=float(cfg.training.optimizer.get("eps", 1e-8)),
+        translator_lr_factor=float(cfg.training.get("translator_lr_factor", 1.0)),
+    )
+
+    init_images = jnp.zeros((2, 224, 224, 3), jnp.uint8)
+    params = model.init(jax.random.PRNGKey(cfg.seed), init_images)["params"]
+    state = TrainState.create(params, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt_dir = os.path.join(cfg.logging.model_path, cfg.logging.run_identifier_prefix)
+    if resume:
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+
+    train_step = make_train_step(
+        model, tx,
+        main_loss=cfg.training.main_loss,
+        target_loss_weights=cfg.training.target_models.get("target_model_weights"),
+        grad_clip=bool(cfg.training.grad_clip),
+        grad_clip_norm=float(cfg.training.grad_clip_norm),
+        grad_clip_norm_warmup=float(cfg.training.grad_clip_norm_warmup),
+        warmup_steps=warmup_steps,
+        freeze_translator=bool(cfg.training.freeze_translator),
+        freeze_translator_start_step=int(
+            cfg.training.freeze_translator_start_steps_ratio * total_train_steps
+        ),
+        mesh=mesh,
+    )
+    eval_step = make_eval_step(
+        model,
+        main_loss=cfg.training.main_loss,
+        target_loss_weights=cfg.training.target_models.get("target_model_weights"),
+        mesh=mesh,
+    )
+
+    logger = MetricLogger(
+        cfg.logging.log_path,
+        cfg.logging.run_identifier_prefix,
+        use_wandb=bool(cfg.logging.get("wandb", False)),
+        use_tensorboard=bool(cfg.logging.get("tensorboard", False)),
+        project=cfg.logging.project,
+        config=cfg.to_dict(),
+        enabled=is_main,
+    )
+    if is_main:
+        print(to_yaml(cfg))
+
+    random_targets = int(cfg.training.get("random_target_models", -1))
+    log_interval = int(cfg.logging.get("log_interval", 50))
+    save_interval = int(cfg.logging.get("save_ckpt_interval", 20000))
+    rng = random.Random(cfg.seed)
+
+    steps = int(state.step)
+    summary: dict[str, Any] = {}
+    t_start = time.time()
+    for ep in range(int(cfg.training.epochs)):
+        meters = create_meters(target_model_names)
+        loader = get_frame_dataloader(
+            train_ds,
+            batch_size=host_batch,
+            shuffle=cfg.dataset.shuffle,
+            shuffle_buffer_size=cfg.dataset.shuffle_buffer_size,
+            seed=cfg.seed + process_index * 100 + ep,
+        )
+        train_iter = iter(loader)
+        pending: list[tuple[dict, int]] = []
+        images_seen = 0
+        for _ in range(train_epoch_steps):
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(loader)
+                batch = next(train_iter)
+
+            if random_targets > 0:
+                chosen = rng.sample(target_model_names, min(2, len(target_model_names)))
+                loss_masks = {
+                    t: jnp.asarray(1.0 if t in chosen else 0.0) for t in target_model_names
+                }
+            else:
+                loss_masks = None
+
+            images = batch["image"]
+            targets = _targets_from_batch(batch, target_model_names)
+            images, targets = shard_batch(mesh, (images, targets))
+            state, metrics = train_step(state, images, targets, loss_masks)
+            steps += 1
+            images_seen += global_batch
+            pending.append((metrics, images.shape[0]))
+
+            if steps % log_interval == 0:
+                # single host readback for the whole window
+                fetched = jax.device_get(pending[-1][0])
+                flat = update_meters_from_metrics(
+                    meters, fetched, target_model_names, "train", pending[-1][1]
+                )
+                flat["lr"] = float(schedule(steps))
+                flat["images_per_sec"] = images_seen / max(time.time() - t_start, 1e-9)
+                logger.log(flat, steps)
+                pending.clear()
+
+            if cfg.training.freeze_translator and steps == int(
+                cfg.training.freeze_translator_start_steps_ratio * total_train_steps
+            ):
+                pass  # handled branch-free inside the jitted step
+
+            if save_interval > 0 and steps % save_interval == 0 and is_main:
+                save_checkpoint(ckpt_dir, state, steps)
+
+        # ---- eval epoch (reference train_rvfm.py:159-201) ----
+        eval_loader = get_frame_dataloader(
+            eval_ds, batch_size=host_batch, shuffle=False, seed=cfg.seed
+        )
+        eval_iter = iter(eval_loader)
+        last_eval = None
+        for _ in range(eval_epoch_steps):
+            try:
+                batch = next(eval_iter)
+            except StopIteration:
+                break
+            images = batch["image"]
+            targets = _targets_from_batch(batch, target_model_names)
+            images, targets = shard_batch(mesh, (images, targets))
+            em = eval_step(state.params, images, targets)
+            last_eval = (em, images.shape[0])
+        if last_eval is not None:
+            fetched = jax.device_get(last_eval[0])
+            flat = update_meters_from_metrics(
+                meters, fetched, target_model_names, "eval", last_eval[1]
+            )
+            logger.log({k: v for k, v in flat.items() if k.startswith("avg_eval")}, steps)
+            summary["eval"] = {k: v for k, v in flat.items() if "eval" in k}
+
+        if is_main:
+            save_checkpoint(ckpt_dir, state, steps)
+
+    logger.close()
+    summary.update(step=steps, run=cfg.logging.run_identifier_prefix, ckpt_dir=ckpt_dir)
+    return summary

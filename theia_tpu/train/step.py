@@ -1,0 +1,154 @@
+"""The jitted, mesh-sharded distillation train/eval step.
+
+One compiled XLA program replaces the reference's per-step host loop body
+(reference: src/theia/scripts/train/train_rvfm.py:95-156): H2D copies, CPU
+preprocessing, per-teacher .item() syncs and DDP bucket all-reduces all
+disappear — uint8 images and bf16 targets go in, new state and a metrics
+pytree come out. Gradient all-reduce over the "data" mesh axis is emitted by
+the SPMD partitioner from the batch sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from theia_tpu.models.losses import get_loss, main_loss_from_terms
+from theia_tpu.train.optim import clip_grad_norm
+from theia_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    *,
+    main_loss: str = "cos_l1",
+    target_loss_weights: Optional[Mapping[str, float]] = None,
+    grad_clip: bool = False,
+    grad_clip_norm: float = 1.0,
+    grad_clip_norm_warmup: float = 10.0,
+    warmup_steps: int = 0,
+    freeze_translator: bool = False,
+    freeze_translator_start_step: int = 0,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build train_step(state, images, targets, loss_masks=None) -> (state, metrics).
+
+    Reference semantics carried over:
+      - grad clip norm 10.0 during warmup then 1.0, only if enabled
+        (train_rvfm.py:126-131);
+      - translator frozen from a step threshold (train_rvfm.py:149-151) —
+        here branch-free: translator updates are zeroed past the threshold;
+      - loss_masks implements random_target_models 2-of-N subsampling
+        without recompilation (train_rvfm.py:102-105).
+    """
+
+    def loss_fn(params, images, targets, loss_masks):
+        preds = model.apply({"params": params}, images)
+        # translate target layout: targets arrive as [B, H*W, C] (+"_cls": [B, C])
+        losses = get_loss(preds, targets, target_loss_weights, loss_masks)
+        main = main_loss_from_terms(losses, main_loss)
+        return main, losses
+
+    def train_step(state: TrainState, images, targets, loss_masks=None):
+        (main, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, targets, loss_masks
+        )
+        metrics = {"loss": main, **{k: losses[k] for k in ("mse_loss", "cos_loss", "l1_loss")}}
+        metrics["mse_losses_per_model"] = losses["mse_losses_per_model"]
+        metrics["cos_losses_per_model"] = losses["cos_losses_per_model"]
+        metrics["l1_losses_per_model"] = losses["l1_losses_per_model"]
+
+        if grad_clip:
+            max_norm = jnp.where(state.step < warmup_steps, grad_clip_norm_warmup, grad_clip_norm)
+            grads, gnorm = clip_grad_norm(grads, max_norm)
+            metrics["grad_norm"] = gnorm
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+
+        if loss_masks is not None:
+            # A masked-out teacher must not move at all (torch skips
+            # grad-less params entirely, so no AdamW decay either).
+            from theia_tpu.models.translators import legit_name
+
+            head_masks = {f"head_{legit_name(t)}": m for t, m in loss_masks.items()}
+
+            def mask_heads(path, u):
+                if len(path) >= 2:
+                    top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                    sub = path[1].key if hasattr(path[1], "key") else str(path[1])
+                    if top == "translator_module" and sub in head_masks:
+                        return u * head_masks[sub]
+                return u
+
+            updates = jax.tree_util.tree_map_with_path(mask_heads, updates)
+
+        if freeze_translator:
+            frozen = state.step >= freeze_translator_start_step
+
+            def mask_translator(path, u):
+                top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                if top == "translator_module":
+                    return jnp.where(frozen, jnp.zeros_like(u), u)
+                return u
+
+            updates = jax.tree_util.tree_map_with_path(mask_translator, updates)
+
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            metrics,
+        )
+
+    if mesh is None:
+        jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(repl, data, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    def wrapper(state, images, targets, loss_masks=None):
+        return jitted(state, images, targets, loss_masks)
+
+    return wrapper
+
+
+def make_eval_step(
+    model: Any,
+    *,
+    main_loss: str = "cos_l1",
+    target_loss_weights: Optional[Mapping[str, float]] = None,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """eval_step(params, images, targets) -> metrics (train_rvfm.py:159-192)."""
+
+    def eval_step(params, images, targets):
+        preds = model.apply({"params": params}, images)
+        losses = get_loss(preds, targets, target_loss_weights)
+        main = main_loss_from_terms(losses, main_loss)
+        return {
+            "loss": main,
+            "mse_loss": losses["mse_loss"],
+            "cos_loss": losses["cos_loss"],
+            "l1_loss": losses["l1_loss"],
+            "mse_losses_per_model": losses["mse_losses_per_model"],
+            "cos_losses_per_model": losses["cos_losses_per_model"],
+            "l1_losses_per_model": losses["l1_losses_per_model"],
+        }
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_step, in_shardings=(repl, data, data), out_shardings=repl)
