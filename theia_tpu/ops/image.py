@@ -31,6 +31,11 @@ def _cubic_kernel(x: np.ndarray, a: float) -> np.ndarray:
     return w
 
 
+def _linear_kernel(x: np.ndarray) -> np.ndarray:
+    """Triangle kernel (PIL/torch bilinear)."""
+    return np.clip(1.0 - np.abs(x), 0.0, None)
+
+
 @functools.lru_cache(maxsize=64)
 def _resize_matrix(
     in_size: int,
@@ -38,6 +43,7 @@ def _resize_matrix(
     a: float,
     scale: float | None,
     antialias: bool,
+    kernel: str = "cubic",
 ) -> np.ndarray:
     """Precompute a dense (out_size, in_size) separable bicubic sampling matrix.
 
@@ -59,14 +65,15 @@ def _resize_matrix(
         support_scale = scale
     else:
         support_scale = 1.0
-    # kernel support is [-2, 2] scaled by 1/support_scale
-    support = 2.0 / support_scale
+    base_support = 2.0 if kernel == "cubic" else 1.0
+    support = base_support / support_scale
     lo = np.floor(src - support).astype(np.int64)
     max_taps = int(np.ceil(2 * support)) + 2
     mat = np.zeros((out_size, in_size), dtype=np.float64)
+    kfn = (lambda x: _cubic_kernel(x, a)) if kernel == "cubic" else _linear_kernel
     for i in range(out_size):
         taps = lo[i] + np.arange(max_taps)
-        w = _cubic_kernel((src[i] - taps) * support_scale, a)
+        w = kfn((src[i] - taps) * support_scale)
         s = w.sum()
         if s != 0:
             w = w / s
@@ -87,11 +94,13 @@ def bicubic_resize(
     scale_w: float | None = None,
     antialias: bool = True,
     pil_uint8_rounding: bool = False,
+    kernel: str = "cubic",
 ) -> jax.Array:
-    """Separable bicubic resize of NHWC (or HWC) images via two matmuls.
+    """Separable resize of NHWC (or HWC) images via two matmuls.
 
-    a=-0.5, antialias=True  -> PIL.Image.BICUBIC semantics (HF image processors).
-    a=-0.75, antialias=False -> torch F.interpolate(mode="bicubic") semantics.
+    kernel="cubic", a=-0.5, antialias=True  -> PIL.Image.BICUBIC semantics.
+    kernel="cubic", a=-0.75, antialias=False -> torch bicubic semantics.
+    kernel="linear", antialias=True -> PIL.Image.BILINEAR semantics.
 
     pil_uint8_rounding=True emulates PIL resizing a uint8 image: the
     horizontal pass runs first and the intermediate is rounded and clamped to
@@ -102,8 +111,8 @@ def bicubic_resize(
         x = x[None]
     b, in_h, in_w, c = x.shape
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    mh = jnp.asarray(_resize_matrix(in_h, out_h, a, scale_h, antialias), dtype)
-    mw = jnp.asarray(_resize_matrix(in_w, out_w, a, scale_w, antialias), dtype)
+    mh = jnp.asarray(_resize_matrix(in_h, out_h, a, scale_h, antialias, kernel), dtype)
+    mw = jnp.asarray(_resize_matrix(in_w, out_w, a, scale_w, antialias, kernel), dtype)
     hp = jax.lax.Precision.HIGHEST  # these matmuls feed preprocessing parity
     y = x.astype(dtype)
     if pil_uint8_rounding:
@@ -161,14 +170,18 @@ def preprocess_images(
     image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5),
     image_std: tuple[float, float, float] = (0.5, 0.5, 0.5),
     out_dtype: jnp.dtype = jnp.float32,
+    resample: str = "cubic",
 ) -> jax.Array:
-    """DeiT AutoProcessor semantics, on device.
+    """HF image-processor semantics, on device.
 
     Accepts uint8 (or float) images in [B,H,W,C] or [B,C,H,W] and returns
-    normalized float NHWC. Pipeline (matching DeiTImageProcessor defaults
-    used at reference src/theia/models/backbones.py:285,337-339):
+    normalized float NHWC. Default pipeline matches DeiTImageProcessor
+    (used at reference src/theia/models/backbones.py:285,337-339):
       resize to 256x256 bicubic (PIL a=-0.5) -> center crop 224 ->
       rescale 1/255 -> normalize (mean/std 0.5).
+    Other processors are covered by (resize_size, crop_size, mean, std,
+    resample): e.g. ViT (224/224 bilinear), CLIP (224/224 bicubic + CLIP
+    stats), DINOv2 (256/224 bicubic + ImageNet stats).
 
     All flags are static so the whole pipeline traces into one XLA program.
     """
@@ -180,7 +193,8 @@ def preprocess_images(
     x = x.astype(jnp.float32)
     if do_resize:
         x = bicubic_resize(
-            x, resize_size, resize_size, a=-0.5, antialias=True, pil_uint8_rounding=True
+            x, resize_size, resize_size, a=-0.5, antialias=True,
+            pil_uint8_rounding=True, kernel=resample,
         )
         x = center_crop(x, crop_size, crop_size)
     if do_rescale:
