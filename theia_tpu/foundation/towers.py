@@ -81,7 +81,12 @@ class CLIPVisionTower(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jax.Array, do_preprocess: bool = True):
+    def __call__(
+        self,
+        images: jax.Array,
+        do_preprocess: bool = True,
+        output_hidden_indices: tuple[int, ...] = (),
+    ):
         cfg = self.cfg
         c = cfg.hidden_size
         dense = lambda feats, name: nn.Dense(feats, name=name, dtype=self.dtype, param_dtype=jnp.float32)
@@ -116,6 +121,7 @@ class CLIPVisionTower(nn.Module):
         tokens = tokens + pos[None].astype(self.dtype)
         tokens = ln("pre_layrnorm")(tokens)
 
+        hidden_states = [tokens]
         for i in range(cfg.num_layers):
             name = f"layer_{i}"
             h1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"{name}_ln1", dtype=self.dtype, param_dtype=jnp.float32)(tokens)
@@ -128,8 +134,11 @@ class CLIPVisionTower(nn.Module):
             h2 = dense(cfg.intermediate_size, f"{name}_fc1")(h2)
             h2 = h2 * jax.nn.sigmoid(1.702 * h2)  # quick_gelu
             tokens = tokens + dense(c, f"{name}_fc2")(h2)
+            hidden_states.append(tokens)
 
         pooled = ln("post_layernorm")(tokens[:, 0])
+        if output_hidden_indices:
+            return tokens, pooled, [hidden_states[i] for i in output_hidden_indices]
         return tokens, pooled
 
 
@@ -141,7 +150,12 @@ class Dinov2Tower(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jax.Array, do_preprocess: bool = True):
+    def __call__(
+        self,
+        images: jax.Array,
+        do_preprocess: bool = True,
+        output_hidden_indices: tuple[int, ...] = (),
+    ):
         cfg = self.cfg
         c = cfg.hidden_size
         dense = lambda feats, name: nn.Dense(feats, name=name, dtype=self.dtype, param_dtype=jnp.float32)
@@ -174,6 +188,7 @@ class Dinov2Tower(nn.Module):
         )
         tokens = tokens + pos.astype(self.dtype)
 
+        hidden_states = [tokens]
         for i in range(cfg.num_layers):
             name = f"layer_{i}"
             ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"{name}_norm1", dtype=self.dtype, param_dtype=jnp.float32)
@@ -191,8 +206,17 @@ class Dinov2Tower(nn.Module):
             h2 = jax.nn.gelu(h2, approximate=False)
             h2 = dense(c, f"{name}_fc2")(h2)
             tokens = tokens + h2 * ls2.astype(self.dtype)
+            hidden_states.append(tokens)
 
-        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm", dtype=self.dtype, param_dtype=jnp.float32)(tokens)
+        final_ln = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="layernorm", dtype=self.dtype, param_dtype=jnp.float32
+        )
+        out = final_ln(tokens)
+        if output_hidden_indices:
+            # HF Dinov2Backbone applies the shared final layernorm to each
+            # selected stage (apply_layernorm=True); hidden_states[0] is the
+            # embedding output, [i] the output of layer i
+            return out, out[:, 0], [final_ln(hidden_states[i]) for i in output_hidden_indices]
         return out, out[:, 0]
 
 

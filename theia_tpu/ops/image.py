@@ -44,6 +44,7 @@ def _resize_matrix(
     scale: float | None,
     antialias: bool,
     kernel: str = "cubic",
+    align_corners: bool = False,
 ) -> np.ndarray:
     """Precompute a dense (out_size, in_size) separable bicubic sampling matrix.
 
@@ -60,7 +61,11 @@ def _resize_matrix(
     if scale is None:
         scale = out_size / in_size
     dst = np.arange(out_size, dtype=np.float64)
-    src = (dst + 0.5) / scale - 0.5
+    if align_corners:
+        # torch align_corners=True: src = dst * (in-1)/(out-1)
+        src = dst * ((in_size - 1) / max(out_size - 1, 1))
+    else:
+        src = (dst + 0.5) / scale - 0.5
     if antialias and scale < 1.0:
         support_scale = scale
     else:
@@ -95,6 +100,7 @@ def bicubic_resize(
     antialias: bool = True,
     pil_uint8_rounding: bool = False,
     kernel: str = "cubic",
+    align_corners: bool = False,
 ) -> jax.Array:
     """Separable resize of NHWC (or HWC) images via two matmuls.
 
@@ -111,8 +117,8 @@ def bicubic_resize(
         x = x[None]
     b, in_h, in_w, c = x.shape
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    mh = jnp.asarray(_resize_matrix(in_h, out_h, a, scale_h, antialias, kernel), dtype)
-    mw = jnp.asarray(_resize_matrix(in_w, out_w, a, scale_w, antialias, kernel), dtype)
+    mh = jnp.asarray(_resize_matrix(in_h, out_h, a, scale_h, antialias, kernel, align_corners), dtype)
+    mw = jnp.asarray(_resize_matrix(in_w, out_w, a, scale_w, antialias, kernel, align_corners), dtype)
     hp = jax.lax.Precision.HIGHEST  # these matmuls feed preprocessing parity
     y = x.astype(dtype)
     if pil_uint8_rounding:
