@@ -97,10 +97,22 @@ def _decode_feature(
     fields: dict[str, bytes],
     mean: Optional[np.ndarray],
     std: Optional[np.ndarray],
+    model: Optional[str] = None,
 ) -> dict[str, np.ndarray]:
     """safetensors bytes -> {"embedding": [H*W, C], "cls": [C]} with optional
-    normalization (reference decode_sample; data_utils.py:151-161)."""
-    sft = load_safetensors_np(next(iter(fields.values())))
+    normalization (reference decode_sample; data_utils.py:151-161).
+
+    ``model`` selects the right field in packed shards where one sample holds
+    image + several per-teacher safetensors members."""
+    if model is not None:
+        want = f"{model.replace('/', '_')}.safetensors"
+        if want in fields:
+            blob = fields[want]
+        else:
+            blob = next(v for k, v in fields.items() if k.endswith(".safetensors") or k == want)
+    else:
+        blob = next(iter(fields.values()))
+    sft = load_safetensors_np(blob)
     emb = sft["embedding"]  # [C, H, W]
     c = emb.shape[0]
     emb = emb.reshape(c, -1).T  # (h w) c
@@ -161,7 +173,7 @@ class _ZippedShardSet:
                         mean, std = self.stats[0].get(m), self.stats[1].get(m)
                     else:
                         mean = std = None
-                    sample[m] = _decode_feature(ffields, mean, std)
+                    sample[m] = _decode_feature(ffields, mean, std, model=m)
                 if ok:
                     yield sample
 
