@@ -208,6 +208,93 @@ def convert_translator(
     return params
 
 
+def export_vit_backbone(params: Mapping[str, Any], variant: str = "cls", prefix: str = "") -> dict[str, np.ndarray]:
+    """Inverse of convert_vit_backbone: ViTBackbone params -> HF-layout
+    state dict (for publishing / interop with the reference loader)."""
+    p = {k: np.asarray(v) for k, v in params.items()}
+    sd: dict[str, np.ndarray] = {}
+    kernel = p["patch_kernel"]
+    c = kernel.shape[1]
+    ps = int((kernel.shape[0] // 3) ** 0.5)
+    sd[f"{prefix}embeddings.patch_embeddings.projection.weight"] = (
+        kernel.reshape(ps, ps, 3, c).transpose(3, 2, 0, 1)
+    )
+    sd[f"{prefix}embeddings.patch_embeddings.projection.bias"] = p["patch_bias"]
+    sd[f"{prefix}embeddings.position_embeddings"] = p["position_embeddings"]
+    if variant != "nocls":
+        sd[f"{prefix}embeddings.cls_token"] = p["cls_token"]
+    if variant == "reg":
+        sd[f"{prefix}embeddings.reg_token"] = p["reg_token"]
+        sd[f"{prefix}embeddings.reg_pos_embed"] = p["reg_pos_embed"]
+    i = 0
+    while f"block_{i}" in params:
+        blk = params[f"block_{i}"]
+        lp = f"{prefix}encoder.layer.{i}."
+        for src, dst in [
+            ("query", "attention.attention.query"), ("key", "attention.attention.key"),
+            ("value", "attention.attention.value"), ("attention_output", "attention.output.dense"),
+            ("intermediate", "intermediate.dense"), ("output", "output.dense"),
+        ]:
+            sd[lp + dst + ".weight"] = np.asarray(blk[src]["kernel"]).T
+            sd[lp + dst + ".bias"] = np.asarray(blk[src]["bias"])
+        for src, dst in [("layernorm_before", "layernorm_before"), ("layernorm_after", "layernorm_after")]:
+            sd[lp + dst + ".weight"] = np.asarray(blk[src]["scale"])
+            sd[lp + dst + ".bias"] = np.asarray(blk[src]["bias"])
+        i += 1
+    sd[f"{prefix}layernorm.weight"] = np.asarray(params["layernorm"]["scale"])
+    sd[f"{prefix}layernorm.bias"] = np.asarray(params["layernorm"]["bias"])
+    return sd
+
+
+def export_theia_checkpoint(
+    params: Mapping[str, Any],
+    target_feature_sizes: Mapping[str, tuple[int, ...]],
+    variant: str = "cls",
+    backbone_spatial: int = 14,
+) -> dict[str, np.ndarray]:
+    """Theia params -> reference RobotVisionFM state-dict layout (lconv
+    translator). Enables publishing checkpoints loadable by the reference's
+    load_pretrained_weights (rvfm.py:77-87)."""
+    sd = export_vit_backbone(params["backbone_module"], variant, prefix="backbone.model.")
+    tr = params["translator_module"]
+    for t, size in target_feature_sizes.items():
+        name = f"head_{_legit(t)}"
+        head = tr[name]
+        hp = f"translator.translator_heads.{t.replace('.', '_')}."
+        if "_cls" in t:
+            sd[hp + "adapter.0.weight"] = np.asarray(head["adapter_0"]["kernel"]).T
+            sd[hp + "adapter.0.bias"] = np.asarray(head["adapter_0"]["bias"])
+            continue
+        if "pad" in head:
+            sd[hp + "pad.1.weight"] = np.asarray(head["pad"]["pad_1"]["kernel"]).transpose(2, 3, 0, 1)
+            sd[hp + "pad.1.bias"] = np.asarray(head["pad"]["pad_1"]["bias"])
+            s_eff = 16
+        else:
+            s_eff = backbone_spatial
+        deconv_ladder = s_eff == 16 and size[1] == 64
+        for idx, sub in [(0, "adapter_0"), (3, "adapter_3")] + (
+            [(6, "adapter_6")] if f"adapter_6" in head else []
+        ):
+            sd[hp + f"adapter.{idx}.weight"] = np.asarray(head[sub]["weight"])
+            sd[hp + f"adapter.{idx}.bias"] = np.asarray(head[sub]["bias"])
+        for idx in (1, 4):
+            sub = f"adapter_{idx}"
+            if sub not in head:
+                continue
+            k = np.asarray(head[sub]["kernel"])
+            if deconv_ladder:
+                sd[hp + f"adapter.{idx}.weight"] = k.transpose(2, 3, 0, 1)  # HWIO -> (I,O,kh,kw)
+            else:
+                sd[hp + f"adapter.{idx}.weight"] = k.transpose(3, 2, 0, 1)  # HWIO -> (O,I,kh,kw)
+            sd[hp + f"adapter.{idx}.bias"] = np.asarray(head[sub]["bias"])
+        for idx in (5, 8):
+            sub = f"adapter_{idx}"
+            if sub in head:
+                sd[hp + f"adapter.{idx}.weight"] = np.asarray(head[sub]["kernel"]).T
+                sd[hp + f"adapter.{idx}.bias"] = np.asarray(head[sub]["bias"])
+    return sd
+
+
 def convert_theia_checkpoint(
     sd: dict[str, np.ndarray],
     num_layers: int,
