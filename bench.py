@@ -47,6 +47,7 @@ def _bench_distill(backbone: str, batch_size: int):
         translator="lconv",
         target_feature_sizes=CDDSV_TARGETS,
         dtype=jnp.bfloat16,
+        fuse_preprocessing=True,  # processor folded into the patch conv
     )
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 256, (batch_size, 224, 224, 3), np.uint8))

@@ -41,6 +41,7 @@ class Theia(nn.Module):
     image_size: int = 224
     num_reg_tokens: int = 7  # used only by "reg-" backbones
     dtype: Any = jnp.float32
+    fuse_preprocessing: bool = False  # fold processor into the patch conv
 
     def setup(self) -> None:
         self.backbone_module = build_backbone(
@@ -49,6 +50,7 @@ class Theia(nn.Module):
             image_size=self.image_size,
             dtype=self.dtype,
             num_reg_tokens=self.num_reg_tokens,
+            fuse_preprocessing=self.fuse_preprocessing,
         )
         self.no_cls = self.backbone_module.no_cls
         self.num_reg = self.backbone_module.num_reg_tokens if self.backbone_module.variant == "reg" else 0

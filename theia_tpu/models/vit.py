@@ -25,8 +25,46 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from theia_tpu.ops.image import bicubic_resize, preprocess_images
+import functools
+
+import numpy as np
+
+from theia_tpu.ops.image import _cubic_kernel, bicubic_resize, preprocess_images
 from theia_tpu.ops.init import trunc_normal_init
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_resize_patch_matrix(
+    in_size: int = 224, resize_size: int = 256, crop_size: int = 224, patch: int = 16,
+    a: float = -0.5,
+) -> tuple[np.ndarray, int, int]:
+    """Per-patch 1D resampling weights composing resize+crop+patchify.
+
+    The DeiT preprocessing (resize 224->256 bicubic, center-crop 224) and the
+    16x16 patch split compose into a strided convolution because the input
+    stride per patch is exact: patch * in/resize = 16 * 224/256 = 14.0, so
+    every patch sees identical fractional tap offsets.
+
+    Returns (A [patch, K], window_start, K): output-pixel py of any patch
+    draws input pixels window_start + 14*i + d with weight A[py, d]
+    (tap indices may run past the image; border clamping == edge padding).
+    """
+    scale = in_size / resize_size
+    if abs(patch * scale - round(patch * scale)) > 1e-9:
+        raise ValueError("fused preprocessing requires integer input stride per patch")
+    crop0 = (resize_size - crop_size) // 2
+    # source positions for the first patch's output pixels
+    src = (np.arange(patch) + crop0 + 0.5) * scale - 0.5
+    lo = int(np.floor(src.min() - 2))
+    hi = int(np.ceil(src.max() + 2))
+    k = hi - lo + 1
+    A = np.zeros((patch, k), np.float64)
+    for py in range(patch):
+        taps = lo + np.arange(k)
+        w = _cubic_kernel(src[py] - taps, a)
+        s = w.sum()
+        A[py] = w / s if s != 0 else w
+    return A.astype(np.float32), lo, k
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +169,11 @@ class ViTBackbone(nn.Module):
     variant: str = "cls"  # "cls" | "nocls" | "reg"
     num_reg_tokens: int = 0
     dtype: Any = jnp.float32
+    # Fold resize+crop+rescale+normalize+patch-embed into ONE strided conv on
+    # raw uint8 pixels (everything is linear; see _fused_resize_patch_matrix).
+    # Skips the PIL inter-pass uint8 rounding (sub-LSB divergence); intended
+    # for the training hot path.
+    fuse_preprocessing: bool = False
 
     def setup(self) -> None:
         cfg = self.cfg
@@ -185,6 +228,51 @@ class ViTBackbone(nn.Module):
             + self.patch_bias
         ).astype(self.dtype)
 
+    def _fused_embed(self, x: jax.Array) -> jax.Array:
+        """uint8 [B,H,W,3] -> [B,N,C] via ONE composite strided conv.
+
+        The composite kernel contracts the per-patch resize weights A with
+        the patch matmul kernel; rescale+normalize fold into a per-channel
+        row scale and a bias shift (uint8 values are exact in bf16)."""
+        cfg = self.cfg
+        if x.shape[1] == 3 and x.shape[-1] != 3:
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        b = x.shape[0]
+        p = cfg.patch_size
+        A_np, lo, k = _fused_resize_patch_matrix(
+            cfg.image_size, cfg.resize_size, cfg.crop_size, p
+        )
+        A = jnp.asarray(A_np, jnp.float32)
+        stride = p * cfg.image_size // cfg.resize_size
+        n = cfg.spatial
+
+        mean = jnp.asarray(cfg.image_mean, jnp.float32)
+        std = jnp.asarray(cfg.image_std, jnp.float32)
+        s = 1.0 / (255.0 * std)          # per-channel scale on raw uint8
+        t = -mean / std                   # per-channel shift
+
+        wp = self.patch_kernel.reshape(p, p, 3, cfg.hidden_size)
+        w_scaled = wp * s[None, None, :, None]
+        # composite conv kernel [K, K, 3, C]
+        wc = jnp.einsum("pk,qm,pqcd->kmcd", A, A, w_scaled)
+        # normalization shift: constant 1 per pixel through the patch weights
+        bc = self.patch_bias + jnp.einsum("c,pqcd->d", t, wp.astype(jnp.float32))
+
+        # edge padding reproduces the resize's border clamping exactly
+        pad_hi = lo + stride * (n - 1) + (k - 1) - (cfg.image_size - 1)
+        xf = x.astype(self.dtype)
+        xf = jnp.pad(xf, ((0, 0), (0, max(pad_hi, 0)), (0, max(pad_hi, 0)), (0, 0)), mode="edge")
+        xf = xf[:, lo:, lo:, :]
+        y = jax.lax.conv_general_dilated(
+            xf,
+            wc.astype(self.dtype),
+            window_strides=(stride, stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + bc.astype(self.dtype)
+        return y.reshape(b, n * n, cfg.hidden_size).astype(self.dtype)
+
     def _interp_patch_pos(self, nh: int, nw: int) -> jax.Array:
         """Bicubic pos-embed interpolation with the reference's h0+0.1 quirk
         (backbones.py:39-69): torch bicubic (a=-0.75), scale=(h0+0.1)/sqrt(N)."""
@@ -218,20 +306,29 @@ class ViTBackbone(nn.Module):
         the XLA program.
         """
         cfg = self.cfg
-        x = preprocess_images(
-            x,
-            do_resize=do_resize,
-            do_rescale=do_rescale,
-            do_normalize=do_normalize,
-            resize_size=cfg.resize_size,
-            crop_size=cfg.crop_size,
-            image_mean=cfg.image_mean,
-            image_std=cfg.image_std,
-            out_dtype=self.dtype,
+        spatial_ok = (x.ndim == 4) and (
+            (x.shape[1] == cfg.image_size and x.shape[2] == cfg.image_size)
+            or (x.shape[2] == cfg.image_size and x.shape[3] == cfg.image_size)
         )
-        b, h, w, _ = x.shape
-        nh, nw = h // cfg.patch_size, w // cfg.patch_size
-        tokens = self._patch_embed(x)  # [B, nh*nw, C]
+        if self.fuse_preprocessing and do_resize and do_rescale and do_normalize and spatial_ok:
+            tokens = self._fused_embed(x)
+            b = tokens.shape[0]
+            nh = nw = cfg.spatial
+        else:
+            x = preprocess_images(
+                x,
+                do_resize=do_resize,
+                do_rescale=do_rescale,
+                do_normalize=do_normalize,
+                resize_size=cfg.resize_size,
+                crop_size=cfg.crop_size,
+                image_mean=cfg.image_mean,
+                image_std=cfg.image_std,
+                out_dtype=self.dtype,
+            )
+            b, h, w, _ = x.shape
+            nh, nw = h // cfg.patch_size, w // cfg.patch_size
+            tokens = self._patch_embed(x)  # [B, nh*nw, C]
 
         interp = bool(interpolate_pos_encoding) and (nh * nw != cfg.num_patches or nh != nw)
         if interp:
@@ -269,6 +366,7 @@ def build_backbone(
     pretrained: bool = False,
     image_size: int = 224,
     dtype: Any = jnp.float32,
+    fuse_preprocessing: bool = False,
     **kwargs: Any,
 ) -> ViTBackbone:
     """Backbone factory dispatching on "reg"/"nocls"/"deit" substrings,
@@ -281,11 +379,12 @@ def build_backbone(
     if model_name not in BACKBONE_CONFIGS:
         raise NotImplementedError(f"Requested {model_name} is not implemented.")
     cfg = dataclasses.replace(BACKBONE_CONFIGS[model_name], image_size=image_size)
+    common = dict(dtype=dtype, fuse_preprocessing=fuse_preprocessing)
     if "reg" in model_name:
         num_reg = kwargs.pop("num_reg_tokens", 7)
-        return ViTBackbone(cfg, variant="reg", num_reg_tokens=num_reg, dtype=dtype)
+        return ViTBackbone(cfg, variant="reg", num_reg_tokens=num_reg, **common)
     elif "nocls" in model_name:
-        return ViTBackbone(cfg, variant="nocls", dtype=dtype)
+        return ViTBackbone(cfg, variant="nocls", **common)
     elif "deit" in model_name:
-        return ViTBackbone(cfg, variant="cls", dtype=dtype)
+        return ViTBackbone(cfg, variant="cls", **common)
     raise NotImplementedError(f"Requested {model_name} is not implemented.")

@@ -24,19 +24,27 @@ def conv_transpose_2d(
     padding: int = 0,
     output_padding: int = 0,
     preferred_element_type: jnp.dtype | None = None,
+    subpixel: bool = True,
 ) -> jax.Array:
     """Transposed conv with torch semantics.
 
     Args:
         x: NHWC input.
         kernel: HWIO layout, (kh, kw, in_ch, out_ch) — i.e. the torch weight
-            (in_ch, out_ch, kh, kw) transposed to (2, 3, 0, 1). Spatial flip is
-            applied here.
+            (in_ch, out_ch, kh, kw) transposed to (2, 3, 0, 1).
         stride/padding/output_padding: torch ConvTranspose2d params.
+        subpixel: use the s^2-subkernel decomposition (default). The naive
+            lowering (input dilation) makes XLA run a dense conv over an
+            s^2-larger zero-dilated input — ~4x wasted MACs at s=2; the
+            decomposition computes only real taps.
 
     Returns:
         NHWC output of spatial size (in-1)*stride - 2*padding + k + output_padding.
     """
+    if stride > 1 and subpixel:
+        return _conv_transpose_subpixel(
+            x, kernel, stride, padding, output_padding, preferred_element_type
+        )
     kh, kw = kernel.shape[0], kernel.shape[1]
     # transposed conv == conv over input dilated by `stride`, with the kernel
     # spatially flipped, pad (k-1-p) low / (k-1-p+output_padding) high.
@@ -52,3 +60,67 @@ def conv_transpose_2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type,
     )
+
+
+def _class_spec(c: int, k: int, s: int, p: int, m: int) -> tuple[list[int], int, int]:
+    """1D residue-class spec for the subpixel decomposition.
+
+    Output o takes taps r with (o + p) % s == r % s == c; i = (o + p - r)/s.
+    Returns (tap r-values, first output index of this class, output count)."""
+    rs = list(range(c, k, s))
+    o_first = (c - p) % s
+    count = max(0, (m - o_first + s - 1) // s)
+    return rs, o_first, count
+
+
+def _conv_transpose_subpixel(
+    x: jax.Array,
+    kernel: jax.Array,
+    s: int,
+    p: int,
+    op: int,
+    preferred_element_type: jnp.dtype | None,
+) -> jax.Array:
+    kh, kw, cin, cout = kernel.shape
+    n_h, n_w = x.shape[1], x.shape[2]
+    m_h = (n_h - 1) * s - 2 * p + kh + op
+    m_w = (n_w - 1) * s - 2 * p + kw + op
+
+    pieces = []
+    for ch in range(s):
+        rs_h, oh0, cnt_h = _class_spec(ch, kh, s, p, m_h)
+        if not rs_h or cnt_h == 0:
+            continue
+        for cw in range(s):
+            rs_w, ow0, cnt_w = _class_spec(cw, kw, s, p, m_w)
+            if not rs_w or cnt_w == 0:
+                continue
+            # sub-kernel reversed for correlation form: y[q] = sum_u x[q-u] W[c+s u]
+            sub = kernel[rs_h, :, :, :][:, rs_w, :, :][::-1, ::-1]
+            kc_h, kc_w = len(rs_h), len(rs_w)
+            q0_h = (oh0 + p - ch) // s
+            q0_w = (ow0 + p - cw) // s
+            a_h = kc_h - 1 - q0_h
+            a_w = kc_w - 1 - q0_w
+            b_h = cnt_h - 1 + kc_h - a_h - n_h
+            b_w = cnt_w - 1 + kc_w - a_w - n_w
+            y = lax.conv_general_dilated(
+                x,
+                sub,
+                window_strides=(1, 1),
+                padding=((a_h, b_h), (a_w, b_w)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=preferred_element_type,
+            )
+            # place this class at out[oh0::s, ow0::s] via interior padding
+            pad_cfg = [
+                (0, 0, 0),
+                (oh0, m_h - oh0 - (cnt_h - 1) * s - 1, s - 1),
+                (ow0, m_w - ow0 - (cnt_w - 1) * s - 1, s - 1),
+                (0, 0, 0),
+            ]
+            pieces.append(lax.pad(y, jnp.zeros((), y.dtype), pad_cfg))
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out + piece
+    return out

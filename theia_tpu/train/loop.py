@@ -117,6 +117,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         target_loss_weights=cfg.training.target_models.get("target_model_weights"),
         num_reg_tokens=int(cfg.model.backbone.get("num_reg_tokens", 7) or 7),
         dtype=dtype,
+        fuse_preprocessing=bool(cfg.training.get("fuse_preprocessing", False)),
     )
 
     mesh = make_mesh()
