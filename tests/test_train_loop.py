@@ -67,3 +67,21 @@ def test_smoke_train_and_resume(tmp_path, tiny_backbone):
     cfg2 = _cfg(tmp_path, epochs=2)
     summary2 = train_from_config(cfg2, max_steps=2)
     assert summary2["step"] == 6  # restored 2 + 2 epochs x 2 steps
+
+
+def test_smoke_train_distill_cls_and_random_targets(tmp_path, tiny_backbone):
+    """distill_cls adds <teacher>_cls linear heads (train_rvfm.py:238-246);
+    random_target_models masks teachers per step (:102-105)."""
+    generate_synthetic_dataset(
+        str(tmp_path),
+        feature_models={"facebook/dinov2-large": (1024, 16, 16)},
+        n_train=16, n_val=8, samples_per_shard=8, with_cls=True,
+    )
+    from theia_tpu.train.loop import train_from_config
+
+    cfg = _cfg(tmp_path)
+    cfg.training.distill_cls = True
+    cfg.training.random_target_models = 2
+    summary = train_from_config(cfg, resume=False, max_steps=2)
+    assert summary["step"] == 2
+    assert "avg_eval_facebook/dinov2-large_cls_cos_loss" in summary["eval"]

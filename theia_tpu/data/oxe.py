@@ -126,6 +126,22 @@ def get_oxe_frame_dataset(
     return RandomMix(members, probs=norm_weights, seed=seed), expected
 
 
+def get_oxe_frame_dataloader(dataset, batch_size=None, shuffle_buffer_size=1000, **kwargs):
+    """Loader over OXE frame datasets (reference data_utils.py:290-311); our
+    datasets already yield merged sample dicts, so this is the generic
+    frame loader."""
+    from theia_tpu.data.dataset import get_frame_dataloader
+
+    return get_frame_dataloader(
+        dataset, batch_size=batch_size, shuffle_buffer_size=shuffle_buffer_size, **kwargs
+    )
+
+
+def get_oxe_frame_iterator(loader):
+    """(reference data_utils.py:314-339)"""
+    return iter(loader)
+
+
 def totensor(arr: np.ndarray) -> np.ndarray:
     """The reference's only train-time image transform converts ndarray to
     tensor (oxe_transforms.py:8-11); in numpy-land this is the identity."""
