@@ -24,7 +24,7 @@ def conv_transpose_2d(
     padding: int = 0,
     output_padding: int = 0,
     preferred_element_type: jnp.dtype | None = None,
-    subpixel: bool = True,
+    subpixel: bool = False,
 ) -> jax.Array:
     """Transposed conv with torch semantics.
 
@@ -33,10 +33,11 @@ def conv_transpose_2d(
         kernel: HWIO layout, (kh, kw, in_ch, out_ch) — i.e. the torch weight
             (in_ch, out_ch, kh, kw) transposed to (2, 3, 0, 1).
         stride/padding/output_padding: torch ConvTranspose2d params.
-        subpixel: use the s^2-subkernel decomposition (default). The naive
-            lowering (input dilation) makes XLA run a dense conv over an
-            s^2-larger zero-dilated input — ~4x wasted MACs at s=2; the
-            decomposition computes only real taps.
+        subpixel: use the s^2-subkernel decomposition. Measured on v5e: the
+            decomposition LOSES to XLA's dilated lowering at the theia ladder
+            shapes (many small odd-sized convs underutilize the MXU more than
+            the dilated zeros waste), so the default is False; kept as an
+            option for other geometries.
 
     Returns:
         NHWC output of spatial size (in-1)*stride - 2*padding + k + output_padding.
