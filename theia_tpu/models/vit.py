@@ -85,6 +85,8 @@ class ViTBackboneConfig:
     crop_size: int = 224
     image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
     image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    # pallas flash attention on TPU (auto-falls back to einsum off-TPU)
+    use_flash_attention: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -139,10 +141,11 @@ class _TransformerBlock(nn.Module):
         q = dense(c, "query", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
         k = dense(c, "key", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
         v = dense(c, "value", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
+        from theia_tpu.ops.attention import multi_head_attention
+
+        ctx = multi_head_attention(
+            q, k, v, dtype=self.dtype, use_flash=cfg.use_flash_attention
+        ).reshape(b, t, c)
         x = x + dense(c, "attention_output")(ctx)
 
         h = ln("layernorm_after")(x)
