@@ -41,6 +41,14 @@ class VFMEncoder:
             self.module, self.params = f.get_clip_model(model_name, hf_model, dtype)
         elif "facebook/deit" in model_name:
             self.module, self.params = f.get_deit_model(model_name, hf_model, dtype)
+        elif "nvidia" in model_name:
+            # RADIO baseline: HF remote-code model (reference vfm.py:43-45);
+            # host-side torch, requires hub access — gated like upstream
+            from transformers import AutoImageProcessor, AutoModel
+
+            self.module = AutoModel.from_pretrained(model_name, trust_remote_code=True)
+            self.params = "torch"  # sentinel: torch-module path
+            self._radio_processor = AutoImageProcessor.from_pretrained(model_name)
         elif "mvp" in model_name:
             import mvp  # optional external baseline (reference vfm.py:47-51)
 
@@ -68,6 +76,16 @@ class VFMEncoder:
     def get_feature(self, x: jax.Array, **kwargs: Any) -> jax.Array:
         if self.params is None:
             raise RuntimeError(f"no weights loaded for {self.model_name}")
+        if "nvidia" in self.model_name:
+            import numpy as np
+            import torch
+
+            inputs = self._radio_processor(images=list(np.asarray(x)), return_tensors="pt")
+            with torch.no_grad():
+                summary, feature = self.module(inputs["pixel_values"].to(torch.bfloat16))
+            if self.feature_reduce_method == "cls_identity":
+                return jnp.asarray(summary.float().numpy())
+            return jnp.asarray(feature.float().numpy())
         if "facebook/sam" in self.model_name:
             out = self.module.apply({"params": self.params}, x)  # NHWC [B,64,64,256]
             b, h, w, c = out.shape

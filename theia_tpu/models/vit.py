@@ -85,8 +85,9 @@ class ViTBackboneConfig:
     crop_size: int = 224
     image_mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
     image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
-    # pallas flash attention on TPU (auto-falls back to einsum off-TPU)
-    use_flash_attention: bool = True
+    # attention kernel: "pallas" (custom fused kernel, TPU), "einsum" (XLA),
+    # or "flash" (generic pallas flash attention); non-TPU always einsum
+    attention_impl: str = "pallas"
 
     @property
     def num_patches(self) -> int:
@@ -144,7 +145,7 @@ class _TransformerBlock(nn.Module):
         from theia_tpu.ops.attention import multi_head_attention
 
         ctx = multi_head_attention(
-            q, k, v, dtype=self.dtype, use_flash=cfg.use_flash_attention
+            q, k, v, dtype=self.dtype, implementation=cfg.attention_impl
         ).reshape(b, t, c)
         x = x + dense(c, "attention_output")(ctx)
 

@@ -32,6 +32,34 @@ def iter_image_shards(dataset_dir: str, split: str) -> list[str]:
     return sorted(glob.glob(join(dataset_dir, "images", f"*-{split}.tar")))
 
 
+def iter_oxe_episodes(dataset_name: str, split: str = "train"):
+    """Stream OXE episodes from the public GCS tfds buckets (reference
+    feature_extraction.py:51-56,73-97). Requires tensorflow_datasets
+    (optional, like the reference's OXE path); yields
+    (episode_index, vo_key, uint8 frames [T,H,W,3])."""
+    try:
+        import tensorflow_datasets as tfds
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(
+            "OXE extraction streams tfds episodes from GCS and needs "
+            "tensorflow_datasets installed"
+        ) from e
+
+    from theia_tpu.data.oxe import get_vo_keys, oxe_dsname2path
+
+    import numpy as np
+
+    builder = tfds.builder_from_directory(builder_dir=oxe_dsname2path(dataset_name))
+    ds = builder.as_dataset(split=split)
+    vo_keys = get_vo_keys(dataset_name)
+    for ep_idx, episode in enumerate(ds):
+        for vo_key in vo_keys:
+            frames = np.stack(
+                [step["observation"][vo_key].numpy() for step in episode["steps"]]
+            )
+            yield ep_idx, vo_key, frames
+
+
 def extract_shard(
     shard_path: str,
     out_path: str,
