@@ -42,6 +42,7 @@ class Theia(nn.Module):
     num_reg_tokens: int = 7  # used only by "reg-" backbones
     dtype: Any = jnp.float32
     fuse_preprocessing: bool = False  # fold processor into the patch conv
+    fast_math: bool = False  # bf16 softmax + tanh gelu in the backbone
 
     def setup(self) -> None:
         self.backbone_module = build_backbone(
@@ -51,6 +52,7 @@ class Theia(nn.Module):
             dtype=self.dtype,
             num_reg_tokens=self.num_reg_tokens,
             fuse_preprocessing=self.fuse_preprocessing,
+            fast_math=self.fast_math,
         )
         self.no_cls = self.backbone_module.no_cls
         self.num_reg = self.backbone_module.num_reg_tokens if self.backbone_module.variant == "reg" else 0

@@ -87,7 +87,10 @@ class ViTBackboneConfig:
     image_std: tuple[float, float, float] = (0.5, 0.5, 0.5)
     # attention kernel: "pallas" (custom fused kernel, TPU), "einsum" (XLA),
     # or "flash" (generic pallas flash attention); non-TPU always einsum
-    attention_impl: str = "pallas"
+    attention_impl: str = "einsum"
+    # trade exactness for VPU throughput in the training hot path:
+    # bf16 attention scores/softmax and tanh-approximated gelu
+    fast_math: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -142,16 +145,21 @@ class _TransformerBlock(nn.Module):
         q = dense(c, "query", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
         k = dense(c, "key", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
         v = dense(c, "value", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
-        from theia_tpu.ops.attention import multi_head_attention
+        if cfg.fast_math:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype)
+            probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
+        else:
+            from theia_tpu.ops.attention import multi_head_attention
 
-        ctx = multi_head_attention(
-            q, k, v, dtype=self.dtype, implementation=cfg.attention_impl
-        ).reshape(b, t, c)
+            ctx = multi_head_attention(
+                q, k, v, dtype=self.dtype, implementation=cfg.attention_impl
+            ).reshape(b, t, c)
         x = x + dense(c, "attention_output")(ctx)
 
         h = ln("layernorm_after")(x)
         h = dense(cfg.intermediate_size, "intermediate")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=cfg.fast_math)
         x = x + dense(c, "output")(h)
         return x
 
@@ -371,6 +379,7 @@ def build_backbone(
     image_size: int = 224,
     dtype: Any = jnp.float32,
     fuse_preprocessing: bool = False,
+    fast_math: bool = False,
     **kwargs: Any,
 ) -> ViTBackbone:
     """Backbone factory dispatching on "reg"/"nocls"/"deit" substrings,
@@ -382,7 +391,9 @@ def build_backbone(
     """
     if model_name not in BACKBONE_CONFIGS:
         raise NotImplementedError(f"Requested {model_name} is not implemented.")
-    cfg = dataclasses.replace(BACKBONE_CONFIGS[model_name], image_size=image_size)
+    cfg = dataclasses.replace(
+        BACKBONE_CONFIGS[model_name], image_size=image_size, fast_math=fast_math
+    )
     common = dict(dtype=dtype, fuse_preprocessing=fuse_preprocessing)
     if "reg" in model_name:
         num_reg = kwargs.pop("num_reg_tokens", 7)

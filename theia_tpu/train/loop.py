@@ -118,6 +118,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         num_reg_tokens=int(cfg.model.backbone.get("num_reg_tokens", 7) or 7),
         dtype=dtype,
         fuse_preprocessing=bool(cfg.training.get("fuse_preprocessing", False)),
+        fast_math=bool(cfg.training.get("fast_math", False)),
     )
 
     mesh = make_mesh()
