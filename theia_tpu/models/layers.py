@@ -151,9 +151,15 @@ class LayerNormSpatial(nn.Module):
         c, h, w = self.shape_chw
         weight = self.param("weight", nn.initializers.ones, (c, h, w), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c, h, w), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * weight.transpose(1, 2, 0) + bias.transpose(1, 2, 0)
-        return y.astype(self.dtype)
+        # stats accumulate in f32 (XLA fuses the convert into the reduce);
+        # the elementwise normalize/affine stays in the compute dtype so the
+        # big (B,H,W,C) map is never materialized in f32 — profiling showed
+        # f32 LN intermediates + layout copies dominating the 64x64 heads
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+        var = mean_sq - jnp.square(mean)
+        scale = jax.lax.rsqrt(var + self.eps).astype(self.dtype)
+        shift = mean.astype(self.dtype)
+        y = (x.astype(self.dtype) - shift) * scale
+        y = y * weight.transpose(1, 2, 0).astype(self.dtype) + bias.transpose(1, 2, 0).astype(self.dtype)
+        return y
