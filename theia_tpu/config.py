@@ -15,7 +15,6 @@ in this image; this module reproduces the semantics the reference relies on:
 
 from __future__ import annotations
 
-import copy
 import os
 from typing import Any, Iterable, Optional
 

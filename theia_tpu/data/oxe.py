@@ -12,7 +12,7 @@ import json
 import math
 import os
 from collections import OrderedDict
-from typing import Any, Callable, Iterable, Literal, Optional
+from typing import Any, Callable, Optional
 
 import numpy as np
 

@@ -32,7 +32,7 @@ from theia_tpu.foundation.towers import (
     IMAGENET_STD,
 )
 from theia_tpu.ops.convt import conv_transpose_2d
-from theia_tpu.ops.image import bicubic_resize, interpolate_nearest, preprocess_images
+from theia_tpu.ops.image import bicubic_resize, preprocess_images
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,7 +12,6 @@ static-shape reshapes/gathers, XLA-friendly.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Optional
 
 import jax

@@ -4,7 +4,6 @@ src/theia/foundation_models/vision_models/vit.py:8-71, deit.py:8-52)."""
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional
 
 import jax

@@ -23,7 +23,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from theia_tpu.foundation.common import MODEL_FEATURE_SIZES, get_model_feature_size
+from theia_tpu.foundation.common import get_model_feature_size
 
 TEACHER_SETS = {
     "cdiv": ["google/vit-huge-patch14-224-in21k", "facebook/dinov2-large", "openai/clip-vit-large-patch14"],

@@ -14,8 +14,7 @@ Parameters are stored in shapes that map 1:1 from torch state dicts:
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

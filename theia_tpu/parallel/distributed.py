@@ -10,7 +10,7 @@ arrays are assembled with jax.make_array_from_process_local_data.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

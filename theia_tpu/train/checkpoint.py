@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 5):

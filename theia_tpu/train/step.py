@@ -10,7 +10,6 @@ the SPMD partitioner from the batch sharding.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Mapping, Optional
 
 import jax

@@ -10,7 +10,7 @@ feeding an MLP gaussian-action head with a learnable log_std.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

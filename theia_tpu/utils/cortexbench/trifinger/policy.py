@@ -7,7 +7,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from theia_tpu.models.layers import Conv2dTorch, DenseTorch
