@@ -271,7 +271,8 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             ):
                 pass  # handled branch-free inside the jitted step
 
-            if save_interval > 0 and steps % save_interval == 0 and is_main:
+            if save_interval > 0 and steps % save_interval == 0:
+                # orbax coordinates across hosts: every process must call save
                 save_checkpoint(ckpt_dir, state, steps)
 
         # ---- eval epoch (reference train_rvfm.py:159-201) ----
@@ -279,7 +280,9 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             eval_ds, batch_size=host_batch, shuffle=False, seed=cfg.seed
         )
         eval_iter = iter(eval_loader)
-        last_eval = None
+        eval_sum = None
+        eval_batches = 0
+        eval_images = 0
         for _ in range(eval_epoch_steps):
             try:
                 batch = next(eval_iter)
@@ -289,17 +292,20 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             targets = _targets_from_batch(batch, target_model_names)
             images, targets = shard_batch(mesh, (images, targets))
             em = eval_step(state.params, images, targets)
-            last_eval = (em, images.shape[0])
-        if last_eval is not None:
-            fetched = jax.device_get(last_eval[0])
+            # accumulate ON DEVICE; one readback per epoch (the reference
+            # pays per-batch .item() syncs; logging.py:115-152)
+            eval_sum = em if eval_sum is None else jax.tree.map(jnp.add, eval_sum, em)
+            eval_batches += 1
+            eval_images += images.shape[0]
+        if eval_sum is not None:
+            fetched = jax.device_get(jax.tree.map(lambda x: x / eval_batches, eval_sum))
             flat = update_meters_from_metrics(
-                meters, fetched, target_model_names, "eval", last_eval[1]
+                meters, fetched, target_model_names, "eval", eval_images
             )
             logger.log({k: v for k, v in flat.items() if k.startswith("avg_eval")}, steps)
             summary["eval"] = {k: v for k, v in flat.items() if "eval" in k}
 
-        if is_main:
-            save_checkpoint(ckpt_dir, state, steps)
+        save_checkpoint(ckpt_dir, state, steps)
 
     logger.close()
     summary.update(step=steps, run=cfg.logging.run_identifier_prefix, ckpt_dir=ckpt_dir)
