@@ -115,6 +115,24 @@ for _sz, _kw in _DEIT_SIZES.items():
         BACKBONE_CONFIGS[f"{_prefix}facebook/{_sz}"] = ViTBackboneConfig(**_kw)
 
 
+class _QKVParams(nn.Module):
+    """Parameter holder keeping the HF-compatible query/key/value tree path
+    while the block computes one packed QKV matmul (fewer small matmuls,
+    ONE bias-grad reduction per layer instead of three)."""
+
+    features: int
+    init_std: float
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", trunc_normal_init(self.init_std), (self.features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
 class _TransformerBlock(nn.Module):
     """Pre-LN ViT encoder block matching HF ViTLayer numerics exactly."""
 
@@ -142,9 +160,17 @@ class _TransformerBlock(nn.Module):
 
         h = ln("layernorm_before")(x)
         b, t, _ = h.shape
-        q = dense(c, "query", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
-        k = dense(c, "key", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
-        v = dense(c, "value", cfg.qkv_bias)(h).reshape(b, t, nh, hd)
+        # packed QKV: column-block matmul is bitwise identical to three
+        # separate matmuls (per-column accumulation is independent)
+        wk_bk = [
+            _QKVParams(c, cfg.initializer_range, cfg.qkv_bias, name=n)()
+            for n in ("query", "key", "value")
+        ]
+        w_qkv = jnp.concatenate([w for w, _ in wk_bk], axis=1).astype(self.dtype)
+        qkv = jnp.dot(h, w_qkv)
+        if cfg.qkv_bias:
+            qkv = qkv + jnp.concatenate([bb for _, bb in wk_bk]).astype(self.dtype)
+        q, k, v = (y.reshape(b, t, nh, hd) for y in jnp.split(qkv, 3, axis=-1))
         if cfg.fast_math:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype)
             probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)

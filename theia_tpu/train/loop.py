@@ -276,8 +276,10 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
                 save_checkpoint(ckpt_dir, state, steps)
 
         # ---- eval epoch (reference train_rvfm.py:159-201) ----
+        # keep partial tail batches in eval (an eval set smaller than one
+        # batch must still evaluate); the tail shape compiles once
         eval_loader = get_frame_dataloader(
-            eval_ds, batch_size=host_batch, shuffle=False, seed=cfg.seed
+            eval_ds, batch_size=host_batch, shuffle=False, seed=cfg.seed, drop_last=False
         )
         eval_iter = iter(eval_loader)
         eval_sum = None
