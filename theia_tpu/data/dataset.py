@@ -98,12 +98,18 @@ def _decode_feature(
     mean: Optional[np.ndarray],
     std: Optional[np.ndarray],
     model: Optional[str] = None,
+    raw: bool = False,
 ) -> dict[str, np.ndarray]:
     """safetensors bytes -> {"embedding": [H*W, C], "cls": [C]} with optional
     normalization (reference decode_sample; data_utils.py:151-161).
 
     ``model`` selects the right field in packed shards where one sample holds
-    image + several per-teacher safetensors members."""
+    image + several per-teacher safetensors members.
+
+    ``raw=True`` (device-side normalization mode) skips the host transpose
+    and normalization entirely and ships the stored [C, H, W] bf16 buffer —
+    numpy bf16 arithmetic is software-emulated and dominated the host
+    pipeline; the jitted train step rearranges/normalizes on the TPU."""
     if model is not None:
         want = f"{model.replace('/', '_')}.safetensors"
         if want in fields:
@@ -114,6 +120,11 @@ def _decode_feature(
         blob = next(iter(fields.values()))
     sft = load_safetensors_np(blob)
     emb = sft["embedding"]  # [C, H, W]
+    if raw:
+        out = {"embedding_chw": emb}
+        if "cls_token" in sft:
+            out["cls"] = sft["cls_token"]
+        return out
     c = emb.shape[0]
     emb = emb.reshape(c, -1).T  # (h w) c
     emb = normalize_feature(emb, mean, std)
@@ -133,11 +144,13 @@ class _ZippedShardSet:
         feature_shards: dict[str, list[str]],  # model -> shard paths (aligned)
         stats: Optional[tuple[dict, dict]] = None,
         image_transform: Optional[Callable] = None,
+        raw_features: bool = False,
     ) -> None:
         self.image_shards = image_shards
         self.feature_shards = feature_shards
         self.stats = stats
         self.image_transform = image_transform
+        self.raw_features = raw_features
         for model, paths in feature_shards.items():
             if len(paths) != len(image_shards):
                 raise ValueError(
@@ -173,7 +186,9 @@ class _ZippedShardSet:
                         mean, std = self.stats[0].get(m), self.stats[1].get(m)
                     else:
                         mean = std = None
-                    sample[m] = _decode_feature(ffields, mean, std, model=m)
+                    sample[m] = _decode_feature(
+                        ffields, mean, std, model=m, raw=self.raw_features
+                    )
                 if ok:
                     yield sample
 
@@ -185,7 +200,7 @@ def get_image_video_dataset(
     split: str = "train",
     dataset_ratio: float = 1.0,
     image_transform: Optional[Callable] = None,
-    feature_norm: bool = False,
+    feature_norm: bool | str = False,
     stats_root: Optional[str] = None,
     seed: int = 0,
     shuffle: bool = False,
@@ -217,8 +232,12 @@ def get_image_video_dataset(
     if split in ("eval", "val"):
         dataset_mix = OrderedDict({d: 1.0 for d in dataset_mix})
 
+    # feature_norm: True = normalize on host (reference semantics;
+    # data_utils.py:498-503); "device" = ship raw bf16, normalize inside the
+    # jitted step (numpy bf16 math is emulated and throttles the host loader)
+    raw_features = feature_norm == "device"
     stats = None
-    if feature_norm:
+    if feature_norm and not raw_features:
         stats = load_feature_stats(stats_root or dataset_root, feature_models)
 
     members: list[_ZippedShardSet] = []
@@ -256,7 +275,9 @@ def get_image_video_dataset(
                 )
             feature_shards[m] = _column(mpaths)
 
-        members.append(_ZippedShardSet(image_shards, feature_shards, stats, image_transform))
+        members.append(
+            _ZippedShardSet(image_shards, feature_shards, stats, image_transform, raw_features)
+        )
         weights.append(dataset_mix[d])
         lengths.append(math.ceil(dataset_len * dataset_ratio))
 

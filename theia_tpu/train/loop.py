@@ -81,14 +81,16 @@ def build_lr_schedule(cfg: DotDict, lr: float, total_steps: int, warmup_steps: i
 
 def _targets_from_batch(batch: dict, target_model_names: list[str]) -> dict[str, np.ndarray]:
     """batch[teacher]["embedding"/"cls"] -> target dict
-    (reference train_rvfm.py:107-114)."""
+    (reference train_rvfm.py:107-114). "embedding_chw" carries raw bf16
+    buffers in feature_norm="device" mode."""
     out = {}
     for t in target_model_names:
         base = t.replace("_cls", "")
         if "_cls" in t:
             out[t] = batch[base]["cls"]
         else:
-            out[t] = batch[base]["embedding"]
+            fields = batch[base]
+            out[t] = fields.get("embedding_chw", fields.get("embedding"))
     return out
 
 
@@ -124,11 +126,26 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     mesh = make_mesh()
     n_chips = int(mesh.devices.size)
 
+    feature_norm = cfg.dataset.feature_norm
+    target_stats = None
+    if feature_norm == "device":
+        from theia_tpu.data.stats import load_feature_stats
+
+        means, stds = load_feature_stats(
+            cfg.dataset.get("stats_root") or cfg.dataset.dataset_root,
+            names_wocls,
+            dtype=np.float32,
+        )
+        target_stats = {}
+        for t in target_model_names:
+            base = t.replace("_cls", "")
+            target_stats[t] = (means[base], stds[base])
+
     ds_kwargs = dict(
         dataset_root=cfg.dataset.dataset_root,
         dataset_mix=list(cfg.dataset.dataset_mix),
         feature_models=names_wocls,
-        feature_norm=cfg.dataset.feature_norm,
+        feature_norm=feature_norm,
         stats_root=cfg.dataset.get("stats_root"),
         rank=process_index,
         world_size=process_count,
@@ -192,12 +209,14 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             cfg.training.freeze_translator_start_steps_ratio * total_train_steps
         ),
         mesh=mesh,
+        target_stats=target_stats,
     )
     eval_step = make_eval_step(
         model,
         main_loss=cfg.training.main_loss,
         target_loss_weights=cfg.training.target_models.get("target_model_weights"),
         mesh=mesh,
+        target_stats=target_stats,
     )
 
     logger = MetricLogger(

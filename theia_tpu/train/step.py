@@ -22,6 +22,28 @@ from theia_tpu.train.optim import clip_grad_norm
 from theia_tpu.train.state import TrainState
 
 
+def prepare_targets(
+    targets: Mapping[str, jax.Array],
+    target_stats: Optional[Mapping[str, tuple]] = None,
+) -> dict[str, jax.Array]:
+    """Device-side target preparation: rearrange raw [B,C,H,W] teacher
+    buffers to [B,H*W,C] and apply (x-mean)/std normalization inside the
+    jitted step (feature_norm="device" mode — host numpy bf16 math is
+    emulated and throttles the input pipeline)."""
+    out = {}
+    for t, arr in targets.items():
+        if arr.ndim == 4:  # raw [B, C, H, W]
+            b, c = arr.shape[0], arr.shape[1]
+            arr = jnp.transpose(arr.reshape(b, c, -1), (0, 2, 1))
+        arr = arr.astype(jnp.float32)
+        if target_stats is not None and t in target_stats:
+            mean, std = target_stats[t]
+            if mean is not None:
+                arr = (arr - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+        out[t] = arr
+    return out
+
+
 def make_train_step(
     model: Any,
     tx: optax.GradientTransformation,
@@ -36,6 +58,7 @@ def make_train_step(
     freeze_translator_start_step: int = 0,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    target_stats: Optional[Mapping[str, tuple]] = None,
 ) -> Callable:
     """Build train_step(state, images, targets, loss_masks=None) -> (state, metrics).
 
@@ -50,7 +73,9 @@ def make_train_step(
 
     def loss_fn(params, images, targets, loss_masks):
         preds = model.apply({"params": params}, images)
-        # translate target layout: targets arrive as [B, H*W, C] (+"_cls": [B, C])
+        # targets arrive as [B, H*W, C] (+"_cls": [B, C]), or raw [B,C,H,W]
+        # bf16 buffers when the loader runs in feature_norm="device" mode
+        targets = prepare_targets(targets, target_stats)
         losses = get_loss(preds, targets, target_loss_weights, loss_masks)
         main = main_loss_from_terms(losses, main_loss)
         return main, losses
@@ -129,12 +154,13 @@ def make_eval_step(
     main_loss: str = "cos_l1",
     target_loss_weights: Optional[Mapping[str, float]] = None,
     mesh: Optional[Mesh] = None,
+    target_stats: Optional[Mapping[str, tuple]] = None,
 ) -> Callable:
     """eval_step(params, images, targets) -> metrics (train_rvfm.py:159-192)."""
 
     def eval_step(params, images, targets):
         preds = model.apply({"params": params}, images)
-        losses = get_loss(preds, targets, target_loss_weights)
+        losses = get_loss(preds, prepare_targets(targets, target_stats), target_loss_weights)
         main = main_loss_from_terms(losses, main_loss)
         return {
             "loss": main,
