@@ -41,11 +41,26 @@ def cosine_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.A
     return jnp.mean(1.0 - jnp.sum(pn * tn, axis=1))
 
 
+def _losses_fused(pred: jax.Array, target: jax.Array, eps: float = 1e-12):
+    """(mse, l1, cos) via the one-pass Pallas reduction kernel (TPU)."""
+    from theia_tpu.ops.fused_loss import loss_sums
+
+    b = pred.shape[0]
+    d = pred.reshape(b, -1).shape[1]
+    sums = loss_sums(pred.reshape(b, -1), jax.lax.stop_gradient(target.reshape(b, -1)))
+    mse = jnp.mean(sums[:, 0]) / d
+    l1 = jnp.mean(sums[:, 1]) / d
+    denom = jnp.maximum(jnp.sqrt(sums[:, 3]), eps) * jnp.maximum(jnp.sqrt(sums[:, 4]), eps)
+    cos = jnp.mean(1.0 - sums[:, 2] / denom)
+    return mse, l1, cos
+
+
 def get_loss(
     pred_features: Mapping[str, jax.Array],
     targets: Mapping[str, jax.Array],
     target_loss_weights: Optional[Mapping[str, float] | float] = None,
     loss_masks: Optional[Mapping[str, jax.Array]] = None,
+    fused: Optional[bool] = None,
 ) -> dict[str, Any]:
     """Compute distillation loss terms for every predicted teacher.
 
@@ -68,12 +83,19 @@ def get_loss(
     else:
         n_active = float(n)
 
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+
     for t in names:
         pred = pred_features[t].astype(jnp.float32)
         target = targets[t].astype(jnp.float32)
-        mse = mse_loss(pred, target)
-        l1 = smooth_l1_loss(pred, target)
-        cos = cosine_loss(pred, target)
+        d_flat = pred.size // pred.shape[0]
+        if fused and d_flat >= 1024 and d_flat % 128 == 0:
+            mse, l1, cos = _losses_fused(pred, target)
+        else:
+            mse = mse_loss(pred, target)
+            l1 = smooth_l1_loss(pred, target)
+            cos = cosine_loss(pred, target)
         if target_loss_weights is None:
             weight = 1.0 / n_active
         elif isinstance(target_loss_weights, Mapping):
