@@ -83,8 +83,11 @@ def get_loss(
     else:
         n_active = float(n)
 
+    # fused=None -> False: the Pallas one-pass kernel measured SLOWER than
+    # XLA's own reduce fusions at these shapes (92.5 -> 123 ms cddsv step);
+    # kept as an opt-in (numerics exact, see tests)
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        fused = False
 
     for t in names:
         pred = pred_features[t].astype(jnp.float32)
