@@ -182,3 +182,81 @@ def test_feature_stats_round_trip(tmp_path):
     x = np.ones((3, c), BFLOAT16)
     out = normalize_feature(x, means["m/a"], stds["m/a"])
     np.testing.assert_allclose(np.asarray(out, np.float32), -0.25)
+
+
+def test_loader_is_reiterable(tmp_path):
+    """iter(loader) after exhaustion must start a fresh pass — the train loop
+    re-iterates at epoch boundaries when yielded batches < epoch steps."""
+    root = str(tmp_path)
+    generate_synthetic_dataset(root, feature_models=MODELS, n_train=8, n_val=2, samples_per_shard=8)
+    ds, _ = get_image_video_dataset(
+        dataset_root=root, feature_models=list(MODELS), dataset_mix=["imagenet"],
+        split="train", seed=0,
+    )
+    loader = get_frame_dataloader(ds, batch_size=3, drop_last=True)
+    assert len(list(loader)) == 2
+    assert len(list(loader)) == 2  # fresh pass, not an exhausted generator
+
+    # the exact loop.py epoch-boundary pattern: more steps than one pass yields
+    it = iter(loader)
+    got = 0
+    for _ in range(5):
+        try:
+            next(it)
+        except StopIteration:
+            it = iter(loader)
+            next(it)
+        got += 1
+    assert got == 5
+
+
+def test_decode_feature_missing_member_raises(tmp_path):
+    """A packed shard missing the wanted per-teacher member must raise, not
+    silently fall back to any .safetensors field."""
+    from theia_tpu.data.dataset import _decode_feature
+
+    feat = np.zeros((4, 2, 2), np.float32)
+    fields = {
+        "other_model.safetensors": save_safetensors_np({"embedding": feat}),
+        "image": encode_image_npy(np.zeros((4, 4, 3), np.uint8)),
+    }
+    with pytest.raises(KeyError, match="wanted_model"):
+        _decode_feature(fields, None, None, model="wanted/model".replace("/", "_"))
+    # exact member present -> fine
+    fields["wanted_model.safetensors"] = save_safetensors_np({"embedding": feat})
+    out = _decode_feature(fields, None, None, model="wanted/model")
+    assert out["embedding"].shape == (4, 4)
+
+
+def test_worker_split_and_parallel_loader(tmp_path):
+    """.split(n) partitions shards disjointly; ParallelSampleSource yields the
+    same sample multiset as the single-process path."""
+    from theia_tpu.data.parallel_loader import ParallelSampleSource
+
+    root = str(tmp_path)
+    generate_synthetic_dataset(root, feature_models=MODELS, n_train=32, n_val=2, samples_per_shard=8)
+    ds, _ = get_image_video_dataset(
+        dataset_root=root, feature_models=list(MODELS), dataset_mix=["imagenet"],
+        split="train", seed=0,
+    )
+
+    def sig(sample):
+        return bytes(sample["image"][:2, :8, 0].tobytes())
+
+    base = sorted(sig(s) for s in ds)
+    assert len(base) == 32
+
+    parts = ds.split(3)
+    split_sigs = sorted(sig(s) for p in parts for s in p)
+    assert split_sigs == base
+
+    par = ParallelSampleSource(ds, num_workers=2)
+    par_sigs = sorted(sig(s) for s in par)
+    assert par_sigs == base
+    # re-iterable (fresh worker set per pass)
+    assert sorted(sig(s) for s in par) == base
+
+    # num_workers wiring through the public loader API
+    loader = get_frame_dataloader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert sum(b["image"].shape[0] for b in batches) == 32

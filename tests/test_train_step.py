@@ -225,3 +225,59 @@ def test_no_weight_decay_mask_semantics():
     assert mask["translator_module"]["head_x"]["adapter_0"]["bias"] is False
     assert mask["translator_module"]["head_x"]["adapter_8"]["kernel"] is True
     assert mask["translator_module"]["head_x"]["adapter_8"]["bias"] is False
+
+
+def test_masked_adamw_matches_torch_skipped_params():
+    """Dynamic masking must reproduce torch's skip-grad-less-params semantics:
+    a masked leaf keeps params, moments AND its per-leaf step count frozen
+    (torch state['step'] is per-parameter)."""
+    from theia_tpu.train.optim import make_optimizer
+
+    rng = np.random.RandomState(0)
+    a0 = rng.randn(6, 3).astype(np.float32)
+    b0 = rng.randn(5, 2).astype(np.float32)
+
+    ta = torch.nn.Parameter(torch.from_numpy(a0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    topt = torch.optim.AdamW([ta, tb], lr=1e-3, betas=(0.9, 0.999), weight_decay=0.01)
+
+    params = {"a": jnp.asarray(a0), "b": jnp.asarray(b0)}
+    tx = make_optimizer(1e-3, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    # b participates only on steps 0, 2, 5
+    b_on = [1.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+    for i in range(6):
+        ga = rng.randn(6, 3).astype(np.float32)
+        gb = rng.randn(5, 2).astype(np.float32)
+        ta.grad = torch.from_numpy(ga.copy())
+        tb.grad = torch.from_numpy(gb.copy()) if b_on[i] else None
+        topt.step()
+        topt.zero_grad(set_to_none=True)
+        grads = {"a": jnp.asarray(ga), "b": jnp.asarray(gb) * b_on[i]}
+        mask = {"a": jnp.asarray(1.0), "b": jnp.asarray(b_on[i])}
+        updates, opt_state = tx.update(grads, opt_state, params, mask=mask)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["a"]), ta.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(), atol=1e-6)
+    assert int(opt_state.count["a"]) == 6
+    assert int(opt_state.count["b"]) == 3
+    assert int(opt_state.sched_count) == 6
+
+
+def test_loss_masks_freeze_opt_state(tiny_theia):
+    """A masked head's Adam moments and per-leaf count must not advance."""
+    model, params = tiny_theia
+    tx = make_optimizer(1e-3)
+    step = make_train_step(model, tx, donate=False)
+    imgs, targets = _batch(2)
+    masks = {"teacher/a": jnp.asarray(1.0), "teacher/b": jnp.asarray(0.0)}
+    s0 = TrainState.create(params, tx)
+    s1, _ = step(s0, imgs, targets, masks)
+    cnt_b = jax.tree.leaves(s1.opt_state.count["translator_module"]["head_teacher_b"])
+    cnt_a = jax.tree.leaves(s1.opt_state.count["translator_module"]["head_teacher_a"])
+    assert all(int(c) == 0 for c in cnt_b)
+    assert all(int(c) == 1 for c in cnt_a)
+    mu_b = jax.tree.leaves(s1.opt_state.mu["translator_module"]["head_teacher_b"])
+    assert all(float(jnp.max(jnp.abs(m))) == 0.0 for m in mu_b)

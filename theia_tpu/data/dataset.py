@@ -72,6 +72,21 @@ class RandomMix:
         self.stopping_strategy = stopping_strategy
         self.seed = seed
 
+    def split(self, n: int) -> list["RandomMix"]:
+        """Disjoint sub-mixes for n loader workers (wds.split_by_worker
+        analogue): each member splits its shard list round-robin; worker w
+        mixes its sub-members with a derived seed."""
+        member_parts = [d.split(n) for d in self.datasets]
+        return [
+            RandomMix(
+                [parts[w] for parts in member_parts],
+                probs=self.probs,
+                stopping_strategy=self.stopping_strategy,
+                seed=self.seed * 1000003 + w,
+            )
+            for w in range(n)
+        ]
+
     def __iter__(self) -> Generator:
         sources = [iter(d) for d in self.datasets]
         probs = self.probs[:]
@@ -112,10 +127,16 @@ def _decode_feature(
     pipeline; the jitted train step rearranges/normalizes on the TPU."""
     if model is not None:
         want = f"{model.replace('/', '_')}.safetensors"
-        if want in fields:
-            blob = fields[want]
-        else:
-            blob = next(v for k, v in fields.items() if k.endswith(".safetensors") or k == want)
+        if want not in fields:
+            # No silent fallback: in a packed shard holding several teachers,
+            # grabbing "any .safetensors field" would silently mis-assign a
+            # distillation target. Fail like the key-join path does.
+            raise KeyError(
+                f"feature member {want!r} not found in sample "
+                f"(available fields: {sorted(fields)}) — shard layout must "
+                f"store one '<key>.<model>.safetensors' member per teacher"
+            )
+        blob = fields[want]
     else:
         blob = next(iter(fields.values()))
     sft = load_safetensors_np(blob)
@@ -157,6 +178,20 @@ class _ZippedShardSet:
                     f"column {model} has {len(paths)} shards but images have "
                     f"{len(image_shards)} — columns must align 1:1"
                 )
+
+    def split(self, n: int) -> list["_ZippedShardSet"]:
+        """Round-robin the (aligned) shard lists over n workers; columns stay
+        aligned because every column is sliced with the same stride."""
+        return [
+            _ZippedShardSet(
+                self.image_shards[w::n],
+                {m: paths[w::n] for m, paths in self.feature_shards.items()},
+                self.stats,
+                self.image_transform,
+                self.raw_features,
+            )
+            for w in range(n)
+        ]
 
     def __iter__(self) -> Generator[dict[str, Any], None, None]:
         models = list(self.feature_shards)
@@ -349,6 +384,40 @@ class _Prefetcher:
             yield item
 
 
+class _BatchedLoader:
+    """Re-iterable batched loader: every ``iter()`` builds a fresh batch
+    generator + prefetch thread over the (re-iterable) sample source, so
+    ``iter(loader)`` after exhaustion starts a new pass — the train loop
+    re-iterates when an epoch needs more batches than one pass yields."""
+
+    def __init__(
+        self,
+        source: Iterable,
+        batch_size: int,
+        drop_last: bool,
+        prefetch: int,
+        num_workers: int = 0,
+    ) -> None:
+        self.source = source
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_workers = num_workers
+
+    def _batches(self) -> Generator:
+        buf: list = []
+        for sample in self.source:
+            buf.append(sample)
+            if len(buf) == self.batch_size:
+                yield _collate(buf)
+                buf = []
+        if buf and not self.drop_last:
+            yield _collate(buf)
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        return iter(_Prefetcher(self._batches(), depth=self.prefetch))
+
+
 def get_frame_dataloader(
     dataset: Iterable,
     batch_size: int,
@@ -357,24 +426,22 @@ def get_frame_dataloader(
     seed: int = 0,
     prefetch: int = 4,
     drop_last: bool = True,
+    num_workers: int = 0,
     **kwargs: Any,
 ) -> Iterable[dict[str, Any]]:
-    """Batched loader with shuffle-after-mix buffer (data_utils.py:531-556)."""
+    """Batched loader with shuffle-after-mix buffer (data_utils.py:531-556).
+
+    ``num_workers > 0`` decodes shards in worker processes (the TPU-host
+    analogue of wds.WebLoader(num_workers=...); see data/parallel_loader.py).
+    """
+    if num_workers > 0:
+        from theia_tpu.data.parallel_loader import ParallelSampleSource
+
+        dataset = ParallelSampleSource(dataset, num_workers=num_workers)
     source: Iterable = dataset
     if shuffle:
         source = _ShuffleBuffer(source, shuffle_buffer_size, seed)
-
-    def batches() -> Generator:
-        buf: list = []
-        for sample in source:
-            buf.append(sample)
-            if len(buf) == batch_size:
-                yield _collate(buf)
-                buf = []
-        if buf and not drop_last:
-            yield _collate(buf)
-
-    return _Prefetcher(batches(), depth=prefetch)
+    return _BatchedLoader(source, batch_size, drop_last, prefetch)
 
 
 def get_frame_iterator(loader: Iterable[dict[str, Any]]) -> Iterator[dict[str, Any]]:

@@ -24,6 +24,7 @@ from theia_tpu.config import DotDict, to_yaml
 from theia_tpu.data.dataset import get_frame_dataloader, get_image_video_dataset
 from theia_tpu.foundation.common import MODEL_FEATURE_SIZES, get_model_feature_size
 from theia_tpu.models.rvfm import Theia
+from theia_tpu.parallel.distributed import make_global_batch
 from theia_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from theia_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from theia_tpu.train.optim import (
@@ -141,23 +142,46 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             base = t.replace("_cls", "")
             target_stats[t] = (means[base], stds[base])
 
-    ds_kwargs = dict(
-        dataset_root=cfg.dataset.dataset_root,
-        dataset_mix=list(cfg.dataset.dataset_mix),
-        feature_models=names_wocls,
-        feature_norm=feature_norm,
-        stats_root=cfg.dataset.get("stats_root"),
-        rank=process_index,
-        world_size=process_count,
-        seed=cfg.seed,
-    )
-    train_ds, train_len = get_image_video_dataset(
-        split="train", dataset_ratio=cfg.dataset.dataset_ratio, shuffle=cfg.dataset.shuffle,
-        **ds_kwargs,
-    )
-    eval_ds, eval_len = get_image_video_dataset(
-        split="val", dataset_ratio=0.1, shuffle=False, **ds_kwargs
-    )
+    mix_cfg = cfg.dataset.dataset_mix
+    if cfg.dataset.get("type", "image_video") == "oxe":
+        # OXE robot-data mixes (reference configs/dataset/oxe_octo_mix.yaml +
+        # dataset/oxe/oxe_mixes.py): packed per-view shards, named mixes
+        from theia_tpu.data.oxe import get_oxe_frame_dataset
+
+        ds_kwargs = dict(
+            dataset_root=cfg.dataset.dataset_root,
+            dataset_mix=mix_cfg if isinstance(mix_cfg, str) else list(mix_cfg),
+            feature_models=names_wocls,
+            image_views=cfg.dataset.get("image_views"),
+            rank=process_index,
+            world_size=process_count,
+            seed=cfg.seed,
+        )
+        train_ds, train_len = get_oxe_frame_dataset(
+            split="train", dataset_ratio=cfg.dataset.dataset_ratio,
+            shuffle=cfg.dataset.shuffle, **ds_kwargs,
+        )
+        eval_ds, eval_len = get_oxe_frame_dataset(
+            split="val", dataset_ratio=0.1, shuffle=False, **ds_kwargs
+        )
+    else:
+        ds_kwargs = dict(
+            dataset_root=cfg.dataset.dataset_root,
+            dataset_mix=mix_cfg if isinstance(mix_cfg, str) else list(mix_cfg),
+            feature_models=names_wocls,
+            feature_norm=feature_norm,
+            stats_root=cfg.dataset.get("stats_root"),
+            rank=process_index,
+            world_size=process_count,
+            seed=cfg.seed,
+        )
+        train_ds, train_len = get_image_video_dataset(
+            split="train", dataset_ratio=cfg.dataset.dataset_ratio, shuffle=cfg.dataset.shuffle,
+            **ds_kwargs,
+        )
+        eval_ds, eval_len = get_image_video_dataset(
+            split="val", dataset_ratio=0.1, shuffle=False, **ds_kwargs
+        )
 
     # global batch = per-host batch * host count; steps math mirrors
     # train_rvfm.py:294-301 with world_size == number of chips
@@ -231,6 +255,16 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     if is_main:
         print(to_yaml(cfg))
 
+    # batch placement: on one process plain device_put suffices; on a pod
+    # each host holds host_batch rows and the global [global_batch, ...]
+    # arrays are assembled with jax.make_array_from_process_local_data —
+    # using shard_batch there would silently shrink the global batch to one
+    # host's rows and drop the rest of each host's loaded samples.
+    if process_count > 1:
+        place_batch = lambda tree: make_global_batch(mesh, tree)  # noqa: E731
+    else:
+        place_batch = lambda tree: shard_batch(mesh, tree)  # noqa: E731
+
     random_targets = int(cfg.training.get("random_target_models", -1))
     log_interval = int(cfg.logging.get("log_interval", 50))
     save_interval = int(cfg.logging.get("save_ckpt_interval", 20000))
@@ -249,7 +283,12 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             seed=cfg.seed + process_index * 100 + ep,
         )
         train_iter = iter(loader)
-        pending: list[tuple[dict, int]] = []
+        # per-step metrics are accumulated ON DEVICE (scalar adds) and read
+        # back once per log window, so avg_train_* are true per-step averages
+        # (reference log_metrics semantics) with a single host sync
+        window_sum: Optional[dict] = None
+        window_steps = 0
+        window_images = 0
         images_seen = 0
         for _ in range(train_epoch_steps):
             try:
@@ -268,22 +307,30 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
 
             images = batch["image"]
             targets = _targets_from_batch(batch, target_model_names)
-            images, targets = shard_batch(mesh, (images, targets))
+            images, targets = place_batch((images, targets))
             state, metrics = train_step(state, images, targets, loss_masks)
             steps += 1
             images_seen += global_batch
-            pending.append((metrics, images.shape[0]))
+            window_sum = (
+                metrics if window_sum is None else jax.tree.map(jnp.add, window_sum, metrics)
+            )
+            window_steps += 1
+            window_images += images.shape[0]
 
             if steps % log_interval == 0:
                 # single host readback for the whole window
-                fetched = jax.device_get(pending[-1][0])
+                fetched = jax.device_get(
+                    jax.tree.map(lambda x: x / window_steps, window_sum)
+                )
                 flat = update_meters_from_metrics(
-                    meters, fetched, target_model_names, "train", pending[-1][1]
+                    meters, fetched, target_model_names, "train", window_images
                 )
                 flat["lr"] = float(schedule(steps))
                 flat["images_per_sec"] = images_seen / max(time.time() - t_start, 1e-9)
                 logger.log(flat, steps)
-                pending.clear()
+                window_sum = None
+                window_steps = 0
+                window_images = 0
 
             if cfg.training.freeze_translator and steps == int(
                 cfg.training.freeze_translator_start_steps_ratio * total_train_steps
@@ -297,8 +344,14 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         # ---- eval epoch (reference train_rvfm.py:159-201) ----
         # keep partial tail batches in eval (an eval set smaller than one
         # batch must still evaluate); the tail shape compiles once
+        # multi-host: every process must execute the SAME number of jitted
+        # eval steps or the emitted collectives deadlock — so tails are
+        # dropped and exhausted hosts re-iterate to a fixed step count;
+        # single host keeps tail batches (an eval set smaller than one batch
+        # must still evaluate)
         eval_loader = get_frame_dataloader(
-            eval_ds, batch_size=host_batch, shuffle=False, seed=cfg.seed, drop_last=False
+            eval_ds, batch_size=host_batch, shuffle=False, seed=cfg.seed,
+            drop_last=process_count > 1,
         )
         eval_iter = iter(eval_loader)
         eval_sum = None
@@ -308,10 +361,19 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             try:
                 batch = next(eval_iter)
             except StopIteration:
-                break
+                if process_count == 1:
+                    break
+                eval_iter = iter(eval_loader)
+                try:
+                    batch = next(eval_iter)
+                except StopIteration:
+                    raise RuntimeError(
+                        "eval split yields no full host batch on this process; "
+                        "reduce batch_size or add eval data"
+                    ) from None
             images = batch["image"]
             targets = _targets_from_batch(batch, target_model_names)
-            images, targets = shard_batch(mesh, (images, targets))
+            images, targets = place_batch((images, targets))
             em = eval_step(state.params, images, targets)
             # accumulate ON DEVICE; one readback per epoch (the reference
             # pays per-batch .item() syncs; logging.py:115-152)

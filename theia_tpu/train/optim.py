@@ -16,7 +16,7 @@
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -79,29 +79,96 @@ def no_weight_decay_mask(params: Any) -> Any:
     )
 
 
+class MaskedAdamWState(NamedTuple):
+    """AdamW state with a PER-LEAF step count.
+
+    torch.optim.AdamW keeps `state["step"]` per parameter and skips grad-less
+    params entirely; `random_target_models` (reference train_rvfm.py:102-105)
+    therefore leaves masked heads' params, moments AND step counts untouched.
+    A per-leaf count reproduces that under a dynamic (traced) mask without
+    recompilation. `sched_count` drives the LR schedule and increments every
+    step like the reference's scheduler.step()."""
+
+    sched_count: jax.Array
+    count: Any  # pytree of int32 scalars, params structure
+    mu: Any
+    nu: Any
+
+
 def make_optimizer(
     learning_rate: optax.ScalarOrSchedule,
     weight_decay: float = 0.01,
     betas: tuple[float, float] = (0.9, 0.999),
     eps: float = 1e-8,
     translator_lr_factor: float = 1.0,
-) -> optax.GradientTransformation:
-    """AdamW with the reference's decay mask; optional per-subtree LR factor
-    for the translator (applied as an update scale — exact for AdamW since
-    both the Adam term and the decoupled decay scale linearly with lr)."""
-    tx = optax.adamw(
-        learning_rate, b1=betas[0], b2=betas[1], eps=eps,
-        weight_decay=weight_decay, mask=no_weight_decay_mask,
-    )
-    if translator_lr_factor != 1.0:
-        def scale_translator(updates):
-            def scale(path, u):
-                top = path[0].key if hasattr(path[0], "key") else str(path[0])
-                return u * translator_lr_factor if top == "translator_module" else u
-            return jax.tree_util.tree_map_with_path(scale, updates)
+) -> optax.GradientTransformationExtraArgs:
+    """AdamW with the reference's decay mask and torch-exact dynamic masking.
 
-        tx = optax.chain(tx, optax.stateless(lambda u, p=None: scale_translator(u)))
-    return tx
+    ``tx.update(grads, state, params, mask=pytree_of_0or1_scalars)`` freezes
+    masked leaves completely (no param motion, no moment decay, no per-leaf
+    step advance) — torch semantics for grad-less / requires_grad=False
+    params. Without ``mask`` it is plain AdamW (torch-exact, see
+    tests/test_train_step.py::test_adamw_matches_torch). The optional
+    translator LR factor is an update scale — exact for AdamW since the Adam
+    term and the decoupled decay both scale linearly with lr
+    (reference optimizers/utils.py:38-86)."""
+    b1, b2 = betas
+
+    def init(params: Any) -> MaskedAdamWState:
+        return MaskedAdamWState(
+            sched_count=jnp.zeros((), jnp.int32),
+            count=jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads: Any, state: MaskedAdamWState, params: Any = None, *, mask: Any = None):
+        if params is None:
+            raise ValueError("make_optimizer requires params for weight decay")
+        lr = learning_rate(state.sched_count) if callable(learning_rate) else learning_rate
+        decay = no_weight_decay_mask(params)
+        if mask is None:
+            mask = jax.tree.map(lambda _: 1.0, grads)
+
+        flat_g, treedef = jax.tree_util.tree_flatten_with_path(grads)
+        flat_p = jax.tree_util.tree_leaves(params)
+        flat_c = jax.tree_util.tree_leaves(state.count)
+        flat_mu = jax.tree_util.tree_leaves(state.mu)
+        flat_nu = jax.tree_util.tree_leaves(state.nu)
+        flat_m = jax.tree_util.tree_leaves(mask)
+        flat_d = jax.tree_util.tree_leaves(decay)
+
+        new_c, new_mu, new_nu, upds = [], [], [], []
+        for (path, g), p, c, mu, nu, m, dec in zip(
+            flat_g, flat_p, flat_c, flat_mu, flat_nu, flat_m, flat_d
+        ):
+            m = jnp.asarray(m, g.dtype)
+            c1 = c + jnp.asarray(m, jnp.int32)
+            mu1 = m * (b1 * mu + (1.0 - b1) * g) + (1.0 - m) * mu
+            nu1 = m * (b2 * nu + (1.0 - b2) * g * g) + (1.0 - m) * nu
+            cf = jnp.asarray(c1, g.dtype)
+            # guard c1==0 (never-updated leaf): bias denominators would be 0
+            bc1 = jnp.where(c1 > 0, 1.0 - b1**cf, 1.0)
+            bc2 = jnp.where(c1 > 0, 1.0 - b2**cf, 1.0)
+            adam = (mu1 / bc1) / (jnp.sqrt(nu1 / bc2) + eps)
+            u = -lr * m * (adam + (weight_decay * p if dec else 0.0))
+            top = path[0].key if path and hasattr(path[0], "key") else ""
+            if translator_lr_factor != 1.0 and top == "translator_module":
+                u = u * translator_lr_factor
+            new_c.append(c1)
+            new_mu.append(mu1)
+            new_nu.append(nu1)
+            upds.append(u)
+
+        unflatten = jax.tree_util.tree_structure(params).unflatten
+        return treedef.unflatten([u for u in upds]), MaskedAdamWState(
+            sched_count=state.sched_count + 1,
+            count=unflatten(new_c),
+            mu=unflatten(new_mu),
+            nu=unflatten(new_nu),
+        )
+
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def clip_grad_norm(grads: Any, max_norm: jax.Array | float) -> Any:

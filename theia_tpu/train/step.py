@@ -94,36 +94,46 @@ def make_train_step(
             grads, gnorm = clip_grad_norm(grads, max_norm)
             metrics["grad_norm"] = gnorm
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-
-        if loss_masks is not None:
-            # A masked-out teacher must not move at all (torch skips
-            # grad-less params entirely, so no AdamW decay either).
+        # torch-exact masking semantics: a masked head / frozen translator
+        # leaf must not move at all — params, Adam moments AND per-leaf step
+        # counts stay frozen (torch skips grad-less params entirely). The
+        # mask is a traced pytree, so 2-of-N teacher subsampling and the
+        # freeze threshold compile once (no per-subset recompilation).
+        update_mask = None
+        if loss_masks is not None or freeze_translator:
             from theia_tpu.models.translators import legit_name
 
-            head_masks = {f"head_{legit_name(t)}": m for t, m in loss_masks.items()}
+            head_masks = (
+                {f"head_{legit_name(t)}": m for t, m in loss_masks.items()}
+                if loss_masks is not None
+                else {}
+            )
+            unfrozen = (
+                jnp.asarray(state.step < freeze_translator_start_step, jnp.float32)
+                if freeze_translator
+                else jnp.asarray(1.0)
+            )
 
-            def mask_heads(path, u):
-                if len(path) >= 2:
-                    top = path[0].key if hasattr(path[0], "key") else str(path[0])
-                    sub = path[1].key if hasattr(path[1], "key") else str(path[1])
-                    if top == "translator_module" and sub in head_masks:
-                        return u * head_masks[sub]
-                return u
-
-            updates = jax.tree_util.tree_map_with_path(mask_heads, updates)
-
-        if freeze_translator:
-            frozen = state.step >= freeze_translator_start_step
-
-            def mask_translator(path, u):
+            def leaf_mask(path, p):
+                m = jnp.asarray(1.0)
                 top = path[0].key if hasattr(path[0], "key") else str(path[0])
                 if top == "translator_module":
-                    return jnp.where(frozen, jnp.zeros_like(u), u)
-                return u
+                    if freeze_translator:
+                        m = m * unfrozen
+                    if len(path) >= 2:
+                        sub = path[1].key if hasattr(path[1], "key") else str(path[1])
+                        if sub in head_masks:
+                            m = m * head_masks[sub]
+                return m
 
-            updates = jax.tree_util.tree_map_with_path(mask_translator, updates)
+            update_mask = jax.tree_util.tree_map_with_path(leaf_mask, state.params)
 
+        if update_mask is not None:
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params, mask=update_mask
+            )
+        else:  # plain GradientTransformations stay usable
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
             TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
