@@ -85,12 +85,20 @@ def _bench_forward_feature(backbone: str, batch_size: int = 1):
         np.random.RandomState(0).randint(0, 256, (batch_size, 224, 224, 3), np.uint8)
     )
     variables = model.init(jax.random.PRNGKey(0), images, method=model.forward_feature)
-    fwd = jax.jit(lambda v, x: model.apply(v, x, method=model.forward_feature))
+    # each call consumes a token derived from the previous output so calls
+    # CHAIN on device — without the dependency successive calls pipeline and
+    # the chain measures inverse throughput, not latency (the source of the
+    # round-1 0.63 ms vs 2.36 ms discrepancy)
+    fwd = jax.jit(
+        lambda v, x, dep: model.apply(v, x + dep, method=model.forward_feature)
+    )
 
     def run_n(n: int) -> float:
+        dep = jnp.zeros((), jnp.uint8)
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fwd(variables, images)
+            out = fwd(variables, images, dep)
+            dep = (out.reshape(-1)[0] * 0).astype(jnp.uint8)
         float(out.sum())
         return time.perf_counter() - t0
 

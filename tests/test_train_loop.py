@@ -85,3 +85,63 @@ def test_smoke_train_distill_cls_and_random_targets(tmp_path, tiny_backbone):
     summary = train_from_config(cfg, resume=False, max_steps=2)
     assert summary["step"] == 2
     assert "avg_eval_facebook/dinov2-large_cls_cos_loss" in summary["eval"]
+
+
+def _make_packed_oxe_with_val(root, dataset="berkeley_cable_routing", vo_key="image",
+                              n_train=16, n_val=8):
+    """Packed OXE layout with train AND val shards (reference
+    data_utils.py:246-253 layout; decoded through the config system)."""
+    import json
+    import os
+
+    from theia_tpu.data.stats import BFLOAT16
+    from theia_tpu.data.webdataset import ShardWriter, encode_image_npy, save_safetensors_np
+
+    ddir = os.path.join(root, dataset)
+    vdir = os.path.join(ddir, vo_key)
+    os.makedirs(vdir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    model = "facebook/dinov2-large"
+    c, h, w = 1024, 16, 16
+    for split, n in (("train", n_train), ("val", n_val)):
+        with ShardWriter(os.path.join(vdir, f"{dataset}-000000-{split}.tar")) as sw:
+            for i in range(n):
+                key = f"{dataset}_seq{i:06d}_000000"
+                img = rng.randint(0, 256, (224, 224, 3), np.uint8)
+                sw.write(f"{key}.image", encode_image_npy(img))
+                feats = {"embedding": rng.randn(c, h, w).astype(np.float32).astype(BFLOAT16)}
+                sw.write(f"{key}.{model.replace('/', '_')}.safetensors",
+                         save_safetensors_np(feats))
+    with open(os.path.join(ddir, "splits.json"), "w") as f:
+        json.dump({"train": n_train, "val": n_val, "test": 0}, f)
+
+
+def test_oxe_mix_config_trains_end_to_end(tmp_path, tiny_backbone):
+    """configs/dataset/oxe_octo_mix.yaml reaches the OXE loader through
+    train_from_config (reference configs/dataset/oxe_octo_mix.yaml +
+    dataset/oxe/oxe_mixes.py)."""
+    _make_packed_oxe_with_val(str(tmp_path))
+    from theia_tpu.train.loop import train_from_config
+
+    cfg = load_config(
+        "train_rvfm_imagenet",
+        overrides=[
+            "dataset=oxe_octo_mix",
+            "model/backbone=deit_tiny",
+            "training/target_models=dinov2",
+            f"dataset.dataset_root={tmp_path}",
+            "dataset.dataset_mix=[berkeley_cable_routing]",
+            "dataset.dataset_ratio=1.0",
+            "dataset.shuffle_buffer_size=8",
+            "training.epochs=1",
+            "training.batch_size=1",
+            "training.compute_dtype=float32",
+            f"logging.model_path={tmp_path}/ckpt",
+            f"logging.log_path={tmp_path}/logs",
+            "logging.save_ckpt_interval=0",
+        ],
+    )
+    assert cfg.dataset.type == "oxe"
+    summary = train_from_config(cfg, resume=False, max_steps=2)
+    assert summary["step"] == 2
+    assert "eval" in summary and summary["eval"]["avg_eval_cos_loss"] > 0

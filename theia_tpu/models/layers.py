@@ -21,6 +21,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from theia_tpu.ops.convt import conv_transpose_2d
+
+# LayerNormSpatial per-sample statistics implementation: "vpu" = jnp.mean
+# reductions; "mxu" = dots with a ones vector. Measured on TPU v5e
+# (benchmarks/probe_tiny_variants.py, tiny cddsv B=256): mxu 101.8 ms vs
+# vpu 97.3 ms — the x^2 materialization for the second dot outweighs the
+# MXU win; kept opt-in as a documented negative result.
+LN_STATS_IMPL = "vpu"
 from theia_tpu.ops.init import (
     torch_conv_init,
     torch_conv_transpose_init,
@@ -154,8 +161,22 @@ class LayerNormSpatial(nn.Module):
         # the elementwise normalize/affine stays in the compute dtype so the
         # big (B,H,W,C) map is never materialized in f32 — profiling showed
         # f32 LN intermediates + layout copies dominating the 64x64 heads
-        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
-        mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+        if LN_STATS_IMPL == "mxu" and x.dtype == jnp.bfloat16:
+            # per-sample stats as MXU dots with a ones vector instead of VPU
+            # serial reductions (the profiled ~15 ms long-tail across the
+            # per-sample stat sites); bf16 squares cost ~2^-8 relative on the
+            # variance — training-path only (bf16), exact path below for f32
+            b = x.shape[0]
+            n = x.size // b
+            x2d = x.reshape(b, n)
+            ones = jnp.ones((n, 1), x.dtype)
+            s1 = jnp.dot(x2d, ones, preferred_element_type=jnp.float32)
+            s2 = jnp.dot(x2d * x2d, ones, preferred_element_type=jnp.float32)
+            mean = (s1 / n).reshape(b, 1, 1, 1)
+            mean_sq = (s2 / n).reshape(b, 1, 1, 1)
+        else:
+            mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+            mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
         var = mean_sq - jnp.square(mean)
         scale = jax.lax.rsqrt(var + self.eps).astype(self.dtype)
         shift = mean.astype(self.dtype)

@@ -67,6 +67,14 @@ def _fused_resize_patch_matrix(
     return A.astype(np.float32), lo, k
 
 
+# fast_math attention context layout: "bqhd" = transpose back to token-major
+# before the output projection; "bhqd_fused" = contract (head, head_dim) in
+# the projection einsum. Measured on TPU v5e (benchmarks/
+# probe_tiny_variants.py, tiny cddsv B=256): bhqd_fused 96.4 ms vs bqhd
+# 97.3 ms — the transpose-back copy never materializes; default on.
+ATTN_LAYOUT = "bhqd_fused"
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTBackboneConfig:
     """Static config of a ViT/DeiT-style encoder (matches HF ViTConfig fields)."""
@@ -171,17 +179,33 @@ class _TransformerBlock(nn.Module):
         if cfg.qkv_bias:
             qkv = qkv + jnp.concatenate([bb for _, bb in wk_bk]).astype(self.dtype)
         q, k, v = (y.reshape(b, t, nh, hd) for y in jnp.split(qkv, 3, axis=-1))
-        if cfg.fast_math:
+        if cfg.fast_math and ATTN_LAYOUT == "bhqd_fused":
+            # keep the context in [B,H,T,hd] and contract (h,d) directly in
+            # the output projection — the [B,T,H,hd] transpose-back copy the
+            # round-1 trace flagged never materializes
+            wo, bo = _QKVParams(c, cfg.initializer_range, True, name="attention_output")()
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype)
+            probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bhqd", probs, v)
+            attn_out = (
+                jnp.einsum(
+                    "bhqd,hdc->bqc", ctx, wo.reshape(nh, hd, c).astype(self.dtype)
+                )
+                + bo.astype(self.dtype)
+            )
+            x = x + attn_out
+        elif cfg.fast_math:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype)
             probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
+            x = x + dense(c, "attention_output")(ctx)
         else:
             from theia_tpu.ops.attention import multi_head_attention
 
             ctx = multi_head_attention(
                 q, k, v, dtype=self.dtype, implementation=cfg.attention_impl
             ).reshape(b, t, c)
-        x = x + dense(c, "attention_output")(ctx)
+            x = x + dense(c, "attention_output")(ctx)
 
         h = ln("layernorm_after")(x)
         h = dense(cfg.intermediate_size, "intermediate")(h)
