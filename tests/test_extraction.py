@@ -109,3 +109,71 @@ def test_extraction_resume_skips_complete_shards(tmp_path, tiny_dinov2, capsys):
     mtime = os.path.getmtime(out)
     ok, _ = check_existing_shard(out, [legit])
     assert ok == 1  # driver would skip regeneration (resume semantics)
+
+
+def test_llava_extraction_end_to_end(tmp_path, monkeypatch):
+    """LLaVA teacher e2e: CLIP-L-336 tower (layer -2, CLS dropped) through
+    the extraction driver -> [C,24,24] bf16 shard layout (reference
+    vision_language_models/llava.py:24-120 + feature_extraction_core/
+    models.py:55-97)."""
+    import dataclasses
+
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from theia_tpu.foundation import llava as jllava
+    from theia_tpu.foundation.llava import get_llava_vision_model, get_llava_visual_feature
+
+    tiny = dataclasses.replace(
+        jllava.LLAVA_VISION, hidden_size=32, num_layers=3, num_heads=2, intermediate_size=64
+    )
+    monkeypatch.setattr(jllava, "LLAVA_VISION", tiny)
+
+    cfg = CLIPVisionConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=2,
+        intermediate_size=64, patch_size=14, image_size=336,
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModel(cfg)
+    hf.eval()
+
+    module, params = get_llava_vision_model(hf_model=hf)
+
+    # numerics: uint8 -> llava processor (336 shortest edge + crop, CLIP
+    # normalization) -> hidden layer -2, CLS dropped, [B,C,24,24] layout
+    from transformers import CLIPImageProcessor
+
+    from theia_tpu.foundation.towers import CLIP_MEAN, CLIP_STD
+
+    imgs = np.random.RandomState(0).randint(0, 256, (2, 360, 360, 3), np.uint8)
+    proc = CLIPImageProcessor(
+        size={"shortest_edge": 336}, crop_size={"height": 336, "width": 336},
+        image_mean=list(CLIP_MEAN), image_std=list(CLIP_STD),
+    )
+    pv = proc(list(imgs), return_tensors="pt")["pixel_values"]
+    with torch.no_grad():
+        want = hf(pixel_values=pv, output_hidden_states=True)
+    want_feat = want.hidden_states[-2][:, 1:].numpy()  # [B, 576, C]
+    got = get_llava_visual_feature(module, params, jnp.asarray(imgs))
+    assert got.shape == (2, 32, 24, 24)
+    got_tokens = np.asarray(got).reshape(2, 32, -1).transpose(0, 2, 1)
+    mse = float(np.mean((got_tokens - want_feat) ** 2))
+    assert mse < 1e-3, mse
+
+    # through the extraction driver: image shards -> llava feature shards
+    _make_images_only(tmp_path)
+    ddir = str(tmp_path / "imagenet")
+    model_name = "llava-hf/llava-1.5-7b-hf"
+    legit = model_name.replace("/", "_")
+    os.makedirs(os.path.join(ddir, legit), exist_ok=True)
+    for shard in iter_image_shards(ddir, "train"):
+        out = os.path.join(ddir, legit, os.path.basename(shard))
+        n = extract_shard(
+            shard, out, model_name, module, params, get_llava_visual_feature, batch_size=4
+        )
+        assert n > 0
+        for key, fields in iter_samples(out):
+            sft = load_safetensors_np(fields[f"{legit}.safetensors"])
+            emb = sft["embedding"]
+            assert emb.shape == (32, 24, 24)
+            assert str(emb.dtype) == "bfloat16"

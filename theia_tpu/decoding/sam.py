@@ -3,9 +3,18 @@
 Replaces the reference's HF MaskGenerationPipeline subclass that injects
 embeddings instead of running the encoder (reference:
 src/theia/decoding/sam.py:15-106, injection at :80-85) with a native
-auto-mask generator over our JAX SamMaskDecoder: a 32x32 point grid is
-batched through the mask decoder, masks are filtered by predicted IoU and
-stability score, then box-NMS'd — the AMG recipe of the SAM paper.
+auto-mask generator over our JAX SamMaskDecoder, following the HF pipeline
+flow exactly (preprocess -> per-point-batch decode -> two-stage bilinear
+upscale -> filter_masks -> cross-batch box NMS), including crop layers,
+uncompressed-RLE output, and crop-edge box filtering via
+theia_tpu.decoding.amg (each primitive is unit-tested against
+transformers' AMG utilities in tests/test_sam_amg.py).
+
+Crop layers with injected embeddings: the HF pipeline cannot re-encode
+crops when the encoder is bypassed; here each crop decodes against the
+full-image embedding window sliced in embedding space and resized to
+64x64 (documented divergence — the reference never exercises
+crops_n_layers > 0 in decode_sam).
 """
 
 from __future__ import annotations
@@ -16,34 +25,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theia_tpu.decoding.amg import (
+    box_nms,
+    filter_masks,
+    generate_crop_boxes,
+    normalize_coordinates,
+    rle_to_mask,
+)
 from theia_tpu.foundation.sam_decoder import SAM_DECODER, SamDecoderConfig, SamMaskDecoder
 from theia_tpu.ops.image import bicubic_resize
-
-
-def _box_from_mask(mask: np.ndarray) -> np.ndarray:
-    ys, xs = np.where(mask)
-    if len(ys) == 0:
-        return np.zeros(4, np.float32)
-    return np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], np.float32)
-
-
-def _box_iou(a: np.ndarray, b: np.ndarray) -> float:
-    x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
-    x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
-    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
-    area_a = (a[2] - a[0]) * (a[3] - a[1])
-    area_b = (b[2] - b[0]) * (b[3] - b[1])
-    union = area_a + area_b - inter
-    return inter / union if union > 0 else 0.0
-
-
-def _nms(boxes: list[np.ndarray], scores: list[float], thresh: float) -> list[int]:
-    order = np.argsort(scores)[::-1]
-    keep: list[int] = []
-    for i in order:
-        if all(_box_iou(boxes[i], boxes[j]) <= thresh for j in keep):
-            keep.append(int(i))
-    return keep
 
 
 class MaskGenerator:
@@ -72,62 +62,104 @@ class MaskGenerator:
             lambda p, emb, pts, lbl: decoder.apply({"params": p}, emb, pts, lbl, True)
         )
 
+    def _upscale(self, masks: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+        """HF post_process_masks: bilinear to the padded model size (1024),
+        slice to the reshaped input, bilinear to the target size."""
+        t = self.cfg.input_image_size
+        oh, ow = out_hw
+        scale = t / max(oh, ow)
+        rh, rw = int(oh * scale + 0.5), int(ow * scale + 0.5)
+        up = bicubic_resize(jnp.asarray(masks)[..., None], t, t, kernel="linear", antialias=False)
+        up = up[:, :rh, :rw]
+        out = bicubic_resize(up, oh, ow, kernel="linear", antialias=False)
+        return np.asarray(out[..., 0], np.float32)
+
+    def _crop_embedding(self, emb: jax.Array, crop_box: np.ndarray, hw: tuple[int, int]) -> jax.Array:
+        """Slice the [1,64,64,256] embedding to the crop window and resize
+        back to 64x64 (embedding-space crop; see module docstring)."""
+        h, w = hw
+        left, top, right, bottom = (float(v) for v in crop_box)
+        if left == 0 and top == 0 and right == w and bottom == h:
+            return emb
+        s = emb.shape[1]
+        x0, x1 = int(left / w * s), max(int(np.ceil(right / w * s)), int(left / w * s) + 1)
+        y0, y1 = int(top / h * s), max(int(np.ceil(bottom / h * s)), int(top / h * s) + 1)
+        window = emb[:, y0:y1, x0:x1, :]
+        return bicubic_resize(window, s, s, kernel="linear", antialias=False)
+
     def __call__(
         self,
         embeddings: jax.Array,  # [1, 256, 64, 64] BCHW (reference layout)
         output_size: tuple[int, int] = (224, 224),
         pred_iou_thresh: float = 0.88,
         stability_score_thresh: float = 0.95,
+        crops_n_layers: int = 0,
+        crop_overlap_ratio: float = 512 / 1500,
+        crop_n_points_downscale_factor: int = 1,
+        output_rle_mask: bool = False,
+        output_bboxes_mask: bool = False,
         **kwargs: Any,
     ) -> dict[str, Any]:
-        cfg = self.cfg
-        emb = jnp.transpose(jnp.asarray(embeddings), (0, 2, 3, 1))
-        n = self.points_per_side
-        grid = (np.stack(np.meshgrid(np.arange(n), np.arange(n)), -1).reshape(-1, 2) + 0.5) / n
-        points = (grid * cfg.input_image_size).astype(np.float32)  # in processed coords
+        emb_full = jnp.transpose(jnp.asarray(embeddings), (0, 2, 3, 1))
+        oh, ow = output_size
+        orig_box = [0, 0, ow, oh]
+        crop_boxes, points_per_crop = generate_crop_boxes(
+            (oh, ow),
+            crop_n_layers=crops_n_layers,
+            overlap_ratio=crop_overlap_ratio,
+            points_per_crop=self.points_per_side,
+            crop_n_points_downscale_factor=crop_n_points_downscale_factor,
+        )
 
-        all_masks: list[np.ndarray] = []
+        all_rles: list[dict] = []
         all_scores: list[float] = []
         all_boxes: list[np.ndarray] = []
-        oh, ow = output_size
-        for i in range(0, len(points), self.points_per_batch):
-            batch_pts = points[i : i + self.points_per_batch]
-            pts = jnp.asarray(batch_pts)[None, :, None, :]  # [1, P, 1, 2]
-            lbl = jnp.ones((1, batch_pts.shape[0], 1), jnp.int32)
-            masks, iou = self._apply(self.params, emb, pts, lbl)
-            masks = np.asarray(masks[0], np.float32)  # [P, 3, 256, 256]
-            iou = np.asarray(iou[0], np.float32)      # [P, 3]
-            p, m, mh, mw = masks.shape
-            flat = masks.reshape(p * m, mh, mw)
-            flat_iou = iou.reshape(p * m)
-            sel = flat_iou > pred_iou_thresh
-            if not sel.any():
-                continue
-            flat, flat_iou = flat[sel], flat_iou[sel]
-            mt, off = self.mask_threshold, self.stability_score_offset
-            hi = (flat > mt + off).sum((1, 2)).astype(np.float64)
-            lo = (flat > mt - off).sum((1, 2)).astype(np.float64)
-            stability = np.where(lo > 0, hi / np.maximum(lo, 1), 0.0)
-            sel = stability >= stability_score_thresh
-            if not sel.any():
-                continue
-            flat, flat_iou = flat[sel], flat_iou[sel]
-            up = np.asarray(
-                bicubic_resize(jnp.asarray(flat)[..., None], oh, ow, kernel="linear", antialias=False)
-            )[..., 0]
-            binm = up > mt
-            for k in range(len(binm)):
-                if binm[k].sum() == 0:
-                    continue
-                all_masks.append(binm[k])
-                all_scores.append(float(flat_iou[k]))
-                all_boxes.append(_box_from_mask(binm[k]))
+        for crop_box, crop_points in zip(crop_boxes, points_per_crop):
+            left, top, right, bottom = (int(v) for v in crop_box)
+            ch, cw = bottom - top, right - left
+            emb = self._crop_embedding(emb_full, crop_box, (oh, ow))
+            # points in crop frame -> processed (longest-edge) coords
+            points = normalize_coordinates(
+                self.cfg.input_image_size, crop_points, (ch, cw)
+            ).astype(np.float32)
 
-        keep = _nms(all_boxes, all_scores, self.crops_nms_thresh) if all_masks else []
-        return {
-            "masks": [all_masks[i] for i in keep],
-            "scores": [all_scores[i] for i in keep],
+            for i in range(0, len(points), self.points_per_batch):
+                batch_pts = points[i : i + self.points_per_batch]
+                pts = jnp.asarray(batch_pts)[None, :, None, :]  # [1, P, 1, 2]
+                lbl = jnp.ones((1, batch_pts.shape[0], 1), jnp.int32)
+                masks, iou = self._apply(self.params, emb, pts, lbl)
+                masks = np.asarray(masks[0], np.float32)  # [P, 3, 256, 256]
+                iou = np.asarray(iou[0], np.float32).reshape(-1)
+                p, m, mh, mw = masks.shape
+                flat = self._upscale(masks.reshape(p * m, mh, mw), (ch, cw))
+                rles, scores, boxes = filter_masks(
+                    flat,
+                    iou,
+                    [left, top, right, bottom],
+                    orig_box,
+                    pred_iou_thresh=pred_iou_thresh,
+                    stability_score_thresh=stability_score_thresh,
+                    mask_threshold=self.mask_threshold,
+                    stability_score_offset=self.stability_score_offset,
+                )
+                all_rles.extend(rles)
+                all_scores.extend(float(s) for s in scores)
+                all_boxes.extend(boxes)
+
+        if not all_rles:
+            return {"masks": [], "scores": []}
+        boxes_arr = np.stack(all_boxes)
+        scores_arr = np.asarray(all_scores, np.float32)
+        keep = box_nms(boxes_arr, scores_arr, self.crops_nms_thresh)
+        out: dict[str, Any] = {
+            "masks": [rle_to_mask(all_rles[i]) for i in keep],
+            "scores": [float(scores_arr[i]) for i in keep],
         }
+        if output_rle_mask:
+            out["rle_mask"] = [all_rles[i] for i in keep]
+        if output_bboxes_mask:
+            out["bounding_boxes"] = boxes_arr[keep]
+        return out
 
 
 def prepare_mask_generator(hf_model: Optional[Any] = None, decoder_params: Optional[Any] = None):
