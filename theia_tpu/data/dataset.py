@@ -194,10 +194,16 @@ class _ZippedShardSet:
         ]
 
     def __iter__(self) -> Generator[dict[str, Any], None, None]:
+        from theia_tpu.data.webdataset import ShardIndex
+
         models = list(self.feature_shards)
         for si in range(len(self.image_shards)):
-            img_iter = iter_samples(self.image_shards[si])
-            feat_iters = {m: iter_samples(self.feature_shards[m][si]) for m in models}
+            # mmap zero-copy shard access: decoded arrays are views into the
+            # page cache; the batch collation is the only copy in the path
+            img_iter = ShardIndex(self.image_shards[si]).samples()
+            feat_iters = {
+                m: ShardIndex(self.feature_shards[m][si]).samples() for m in models
+            }
             for key, img_fields in img_iter:
                 sample: dict[str, Any] = {}
                 image = decode_image_npy(img_fields["image"])
@@ -341,14 +347,17 @@ class _ShuffleBuffer:
 
 
 def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
-    """Stack a list of sample dicts into batched numpy arrays."""
+    """Stack a list of sample dicts into batched numpy arrays (parallel
+    C memcpy when the native helper is available; see data/fastpack.py)."""
+    from theia_tpu.data.fastpack import gather
+
     out: dict[str, Any] = {}
     first = samples[0]
     for k, v in first.items():
         if isinstance(v, dict):
-            out[k] = {f: np.stack([s[k][f] for s in samples]) for f in v}
+            out[k] = {f: gather([s[k][f] for s in samples]) for f in v}
         else:
-            out[k] = np.stack([s[k] for s in samples])
+            out[k] = gather([s[k] for s in samples])
     return out
 
 

@@ -75,7 +75,16 @@ class ParallelSampleSource:
         self.mp_context = mp_context
 
     def __iter__(self) -> Iterator[Any]:
-        ctx = mp.get_context(self.mp_context)
+        import sys
+
+        mp_context = self.mp_context
+        if mp_context == "forkserver" and not getattr(
+            sys.modules.get("__main__"), "__file__", None
+        ):
+            # forkserver preloads __main__; for stdin/REPL-run programs that
+            # blocks forever waiting on stdin — fall back to fork
+            mp_context = "fork"
+        ctx = mp.get_context(mp_context)
         parts = self.dataset.split(self.num_workers)
         queues = [ctx.Queue(maxsize=self.queue_depth) for _ in parts]
         procs = [

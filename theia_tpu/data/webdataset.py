@@ -27,10 +27,36 @@ def encode_image_npy(image: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def decode_image_npy(data: bytes) -> np.ndarray:
-    """npy bytes -> RGB uint8 HWC (gray/RGBA converted like reference
+def decode_npy_view(data) -> np.ndarray:
+    """npy bytes/memoryview -> array VIEW into the buffer (zero copy).
+
+    Hand-parses the npy v1/v2 header so mmap'd shard members decode without
+    np.load's BytesIO copy; falls back to np.load for exotic headers."""
+    buf = memoryview(data)
+    if bytes(buf[:6]) != b"\x93NUMPY":
+        raise ValueError("not an npy buffer")
+    major = buf[6]
+    if major == 1:
+        hlen = int.from_bytes(bytes(buf[8:10]), "little")
+        start = 10 + hlen
+        header = bytes(buf[10:start])
+    else:
+        hlen = int.from_bytes(bytes(buf[8:12]), "little")
+        start = 12 + hlen
+        header = bytes(buf[12:start])
+    import ast
+
+    meta = ast.literal_eval(header.decode("latin1"))
+    if meta.get("fortran_order"):
+        return np.load(io.BytesIO(bytes(buf)))
+    dtype = np.dtype(meta["descr"])
+    return np.frombuffer(buf, dtype, offset=start).reshape(meta["shape"])
+
+
+def decode_image_npy(data) -> np.ndarray:
+    """npy bytes/view -> RGB uint8 HWC (gray/RGBA converted like reference
     decode_sample; src/theia/dataset/data_utils.py:162-168)."""
-    image = np.load(io.BytesIO(data))
+    image = decode_npy_view(data)
     if image.ndim == 2:
         image = np.stack([image] * 3, axis=-1)
     elif image.ndim == 3 and image.shape[-1] == 4:
@@ -81,16 +107,19 @@ def save_safetensors_np(tensors: dict[str, np.ndarray]) -> bytes:
     return len(hjson).to_bytes(8, "little") + hjson + b"".join(buffers)
 
 
-def load_safetensors_np(data: bytes) -> dict[str, np.ndarray]:
-    hlen = int.from_bytes(data[:8], "little")
-    header = json.loads(data[8 : 8 + hlen])
+def load_safetensors_np(data) -> dict[str, np.ndarray]:
+    """bytes/memoryview -> dict of array VIEWS into the buffer (zero copy)."""
+    hlen = int.from_bytes(bytes(data[:8]), "little")
+    header = json.loads(bytes(data[8 : 8 + hlen]))
     base = 8 + hlen
     out: dict[str, np.ndarray] = {}
     for name, meta in header.items():
         if name == "__metadata__":
             continue
         lo, hi = meta["data_offsets"]
-        arr = np.frombuffer(data[base + lo : base + hi], dtype=_ST_FROM_NAME[meta["dtype"]])
+        dtype = _ST_FROM_NAME[meta["dtype"]]
+        count = (hi - lo) // dtype.itemsize
+        arr = np.frombuffer(data, dtype=dtype, count=count, offset=base + lo)
         out[name] = arr.reshape(meta["shape"])
     return out
 
@@ -138,6 +167,61 @@ def iter_members(path: str) -> Iterator[tuple[str, bytes]]:
             f = tar.extractfile(member)
             if f is not None:
                 yield member.name, f.read()
+
+
+class ShardIndex:
+    """mmap-backed zero-copy shard access.
+
+    The streaming reader (iter_members) pays a Python-level read + bytes
+    copy per member; here the shard is mmap'd once, headers are walked by
+    the native tar indexer (theia_tpu/data/fastpack.py; tarfile fallback),
+    and members are memoryview slices — decoded arrays are views into the
+    OS page cache, so the only copy left in the load path is the final
+    batch collation. Views keep the mmap alive; nothing to close manually.
+    """
+
+    def __init__(self, path: str) -> None:
+        import mmap as _mmap
+
+        self.path = path
+        with open(path, "rb") as f:
+            self._mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        self.members: list[tuple[str, int, int]] = []  # (name, data_off, size)
+
+        from theia_tpu.data.fastpack import tar_index
+
+        idx = tar_index(self._mm)
+        if idx is not None:
+            for hdr_off, data_off, size in idx:
+                raw = self._mm[hdr_off : hdr_off + 100]
+                name = raw.split(b"\x00", 1)[0].decode("utf-8")
+                if len(name) >= 100:  # pax/GNU long name: needs tarfile
+                    self.members.clear()
+                    idx = None
+                    break
+                self.members.append((name, int(data_off), int(size)))
+        if idx is None:  # no native lib / long names: tarfile header walk
+            with tarfile.open(path, "r") as tar:
+                for m in tar:
+                    if m.isfile():
+                        self.members.append((m.name, m.offset_data, m.size))
+
+    def view(self, data_off: int, size: int) -> memoryview:
+        return memoryview(self._mm)[data_off : data_off + size]
+
+    def samples(self) -> Iterator[tuple[str, dict[str, memoryview]]]:
+        """Group consecutive members by sample key (webdataset convention)."""
+        current_key: Optional[str] = None
+        fields: dict[str, memoryview] = {}
+        for name, off, size in self.members:
+            key, field = split_member_name(name)
+            if current_key is not None and key != current_key:
+                yield current_key, fields
+                fields = {}
+            current_key = key
+            fields[field] = self.view(off, size)
+        if current_key is not None and fields:
+            yield current_key, fields
 
 
 def iter_samples(
