@@ -37,7 +37,15 @@ from theia_tpu.ops.init import (
 
 
 class DenseTorch(nn.Module):
-    """nn.Linear with torch default init; kernel stored (in, out)."""
+    """nn.Linear with torch default init; kernel stored (in, out).
+
+    A 4D NHWC input runs as a 1x1 convolution instead of reshape+dot (the
+    matmul is identical). Measured on v5e: routing the conv-ladder heads'
+    final Linear through this path REGRESSED the tiny cddsv step 96.4 ->
+    108.8 ms — the 1x1-conv backward lowering costs more than the
+    [B,4096,C] layout copies it avoids — so the heads keep reshape+dot and
+    this path stays for genuinely-4D callers only (negative result,
+    PERFORMANCE.md)."""
 
     features: int
     in_features: int
@@ -49,7 +57,16 @@ class DenseTorch(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_init(), (self.in_features, self.features), jnp.float32
         )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if x.ndim == 4:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.reshape(1, 1, self.in_features, self.features).astype(self.dtype),
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", torch_linear_bias_init(self.in_features), (self.features,), jnp.float32
