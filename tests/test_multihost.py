@@ -201,3 +201,93 @@ def test_two_process_full_train_step_and_checkpoint(tmp_path):
         np.testing.assert_allclose(losses[0], ref_losses, rtol=2e-5)
     finally:
         jvit.BACKBONE_CONFIGS[name] = orig
+
+
+E2E_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    coord, pid, root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+
+    from theia_tpu.config import load_config
+    from theia_tpu.models import vit as jvit
+    from theia_tpu.train.loop import train_from_config
+
+    name = "facebook/deit-tiny-patch16-224"
+    jvit.BACKBONE_CONFIGS[name] = dataclasses.replace(
+        jvit.BACKBONE_CONFIGS[name], num_layers=2)
+
+    cfg = load_config(
+        "train_rvfm_imagenet",
+        overrides=[
+            "model/backbone=deit_tiny",
+            "training/target_models=dinov2",
+            f"dataset.dataset_root={root}/data",
+            "dataset.dataset_ratio=1.0",
+            "dataset.shuffle_buffer_size=8",
+            "training.epochs=1",
+            "training.batch_size=4",   # per chip; 2 procs x 1 dev -> global 8
+            "training.compute_dtype=float32",
+            f"logging.model_path={root}/ckpt",
+            f"logging.log_path={root}/logs_{pid}",
+            "logging.save_ckpt_interval=0",
+        ],
+    )
+    summary = train_from_config(cfg, resume=False, max_steps=2)
+    print(f"proc {pid} summary step={summary['step']} "
+          f"eval_cos={summary['eval']['avg_eval_cos_loss']:.6f}", flush=True)
+    """
+)
+
+
+def test_two_process_train_from_config_e2e(tmp_path):
+    """The WHOLE training entry point across 2 real processes: per-host
+    shard split, host loaders, global batch assembly, jitted step, the
+    fixed-step multi-host eval loop, and a coordinated orbax checkpoint —
+    the torchrun-equivalent path (reference train_rvfm.py:211-345)."""
+    import numpy as np
+
+    from theia_tpu.data.synthetic import generate_synthetic_dataset
+
+    generate_synthetic_dataset(
+        str(tmp_path / "data"),
+        feature_models={"facebook/dinov2-large": (1024, 16, 16)},
+        n_train=32, n_val=16, samples_per_shard=8,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "e2e_worker.py"
+    script.write_text(E2E_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=str(Path(__file__).parent.parent),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert "summary step=2" in out
+    # global metrics must agree across hosts
+    import re
+
+    evals = [re.search(r"eval_cos=([\d.]+)", o).group(1) for o in outs]
+    assert evals[0] == evals[1]
+    # a checkpoint was written cooperatively
+    ckpts = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpts

@@ -116,3 +116,44 @@ def test_center_crop():
     y = center_crop(x, 4, 4)
     assert y.shape == (2, 4, 4, 1)
     np.testing.assert_allclose(np.asarray(y[0, 0, 0, 0]), np.asarray(x[0, 1, 1, 0]))
+
+
+def test_conv_transpose_adjoint_vjp_matches_autodiff():
+    """The adjoint-based backward (CONVT_VJP="auto", default; routes grads
+    through regular-conv lowerings) must match XLA autodiff of the dilated
+    forward on every ladder geometry (16->31, 31->64, 14->16 pad, k4 s2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import theia_tpu.ops.convt as C
+
+    rng = np.random.RandomState(0)
+    cases = [
+        (16, 5, 7, 3, 2, 1, 0),   # 16 -> 31
+        (31, 7, 7, 3, 2, 0, 1),   # 31 -> 64 (output_padding)
+        (14, 5, 5, 3, 1, 0, 0),   # 14 -> 16 pad deconv
+        (8, 4, 6, 4, 2, 1, 0),    # k=4 (the ->7 ladder kernel size)
+    ]
+    orig = C.CONVT_VJP
+    try:
+        for n, cin, cout, k, s, p, op in cases:
+            x = jnp.asarray(rng.randn(2, n, n, cin).astype(np.float32))
+            w = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32))
+
+            def f(x_, w_):
+                y = C.conv_transpose_2d(x_, w_, stride=s, padding=p, output_padding=op)
+                return jnp.sum(jnp.sin(y))
+
+            C.CONVT_VJP = "xla"
+            y_ref = C.conv_transpose_2d(x, w, stride=s, padding=p, output_padding=op)
+            dx_ref, dw_ref = jax.grad(f, argnums=(0, 1))(x, w)
+            C.CONVT_VJP = "auto"
+            y = C.conv_transpose_2d(x, w, stride=s, padding=p, output_padding=op)
+            dx, dw = jax.grad(f, argnums=(0, 1))(x, w)
+
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+            np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
+    finally:
+        C.CONVT_VJP = orig

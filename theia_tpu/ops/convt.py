@@ -11,9 +11,18 @@ MXU-friendly convolutions on TPU.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+# Backward implementation toggle (see _conv_transpose_custom_vjp below):
+# "auto" = custom adjoint-based VJP, "xla" = plain autodiff of the dilated
+# conv (whose rhs-grad rule reverses the full gradient activations — the
+# ~2.5 ms/step `reverse` ops in the round-2 trace).
+CONVT_VJP = "auto"
 
 
 def conv_transpose_2d(
@@ -46,6 +55,19 @@ def conv_transpose_2d(
         return _conv_transpose_subpixel(
             x, kernel, stride, padding, output_padding, preferred_element_type
         )
+    if CONVT_VJP == "auto" and preferred_element_type is None:
+        return _convt_vjp(x, kernel, stride, padding, output_padding)
+    return _convt_fwd_impl(x, kernel, stride, padding, output_padding, preferred_element_type)
+
+
+def _convt_fwd_impl(
+    x: jax.Array,
+    kernel: jax.Array,
+    stride: int,
+    padding: int,
+    output_padding: int,
+    preferred_element_type: jnp.dtype | None = None,
+) -> jax.Array:
     kh, kw = kernel.shape[0], kernel.shape[1]
     # transposed conv == conv over input dilated by `stride`, with the kernel
     # spatially flipped, pad (k-1-p) low / (k-1-p+output_padding) high.
@@ -61,6 +83,62 @@ def conv_transpose_2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_element_type,
     )
+
+
+def _adjoint_conv(z: jax.Array, kernel: jax.Array, stride: int, padding: int,
+                  output_padding: int) -> jax.Array:
+    """The REGULAR strided conv whose input-gradient is conv_transpose_2d:
+    torch's ConvTranspose2d(x, W) is by definition the input-grad of
+    Conv2d(·, W, stride, padding); with our HWIO kernel (in=x-ch, out=y-ch)
+    that conv contracts y channels, i.e. uses kernel transposed on I/O.
+    The high-side padding is p - output_padding (may be negative; XLA convs
+    accept negative padding)."""
+    pad = (padding, padding - output_padding)
+    return lax.conv_general_dilated(
+        z,
+        jnp.transpose(kernel, (0, 1, 3, 2)),
+        window_strides=(stride, stride),
+        padding=(pad, pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _convt_vjp(x, kernel, stride, padding, output_padding):
+    return _convt_fwd_impl(x, kernel, stride, padding, output_padding)
+
+
+def _convt_vjp_fwd(x, kernel, stride, padding, output_padding):
+    return _convt_fwd_impl(x, kernel, stride, padding, output_padding), (x, kernel)
+
+
+def _convt_vjp_bwd(stride, padding, output_padding, res, g):
+    """Adjoint-based backward: both grads route through REGULAR-conv
+    lowerings instead of jax's lhs-dilated transpose rules, whose rhs-grad
+    reverses the full gradient activations (~2.5 ms/step of pure copies in
+    the round-2 trace).
+
+    With A_W = the regular conv (see _adjoint_conv), convtranspose = A_W^T:
+      dx = A_W g                         (a plain strided conv of g)
+      dW = weight-grad of A_W at input g with output-cotangent x
+    """
+    x, kernel = res
+    dx = _adjoint_conv(g, kernel, stride, padding, output_padding)
+    w_swapped = jnp.transpose(kernel, (0, 1, 3, 2))
+
+    def conv_w(w):
+        pad = (padding, padding - output_padding)
+        return lax.conv_general_dilated(
+            g, w, window_strides=(stride, stride), padding=(pad, pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, wgrad = jax.vjp(conv_w, w_swapped)
+    (dw_swapped,) = wgrad(x)
+    return dx, jnp.transpose(dw_swapped, (0, 1, 3, 2))
+
+
+_convt_vjp.defvjp(_convt_vjp_fwd, _convt_vjp_bwd)
 
 
 def _class_spec(c: int, k: int, s: int, p: int, m: int) -> tuple[list[int], int, int]:
