@@ -31,7 +31,10 @@ def run_and_trace() -> None:
     from theia_tpu.train.state import TrainState
     from theia_tpu.train.step import make_train_step
 
-    batch_size = 256
+    size = "base" if "--base" in sys.argv else "tiny"
+    import theia_tpu.models.layers as L
+    L.LN_STATS_IMPL = os.environ.get("THEIA_LN_IMPL", L.LN_STATS_IMPL)
+    batch_size = 64 if size == "base" else 256
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 256, (batch_size, 224, 224, 3), np.uint8))
     targets = {
@@ -39,7 +42,7 @@ def run_and_trace() -> None:
         for k, s in CDDSV_TARGETS.items()
     }
     model = Theia(
-        backbone="facebook/deit-tiny-patch16-224",
+        backbone=f"facebook/deit-{size}-patch16-224",
         translator="lconv",
         target_feature_sizes=CDDSV_TARGETS,
         dtype=jnp.bfloat16,

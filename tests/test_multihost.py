@@ -59,6 +59,8 @@ def test_two_process_distributed_mesh(tmp_path):
     script.write_text(WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(pid)],
@@ -149,6 +151,8 @@ def test_two_process_full_train_step_and_checkpoint(tmp_path):
     script.write_text(TRAIN_WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(pid), str(tmp_path)],
@@ -268,6 +272,8 @@ def test_two_process_train_from_config_e2e(tmp_path):
     script.write_text(E2E_WORKER)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(pid), str(tmp_path)],

@@ -31,6 +31,20 @@ from theia_tpu.ops.image import interpolate_nearest
 
 Size = tuple[int, ...]
 
+# How the LightConv ladders apply their final Linear: "tokens" reshapes the
+# map to [B,HW,C] first (reference order); "map_einsum" contracts channels on
+# the 4D map and reshapes after — numerically identical, but avoids the
+# [B,HW,C] layout copies XLA inserts between the conv ladder (batch-minor
+# layouts) and the token-major dot (round-2 trace: ~3.8 ms/step).
+HEAD_DENSE_IMPL = "tokens"
+
+
+def _final_dense(x: jax.Array, c_t: int, hidden: int, dtype: Any, name: str) -> jax.Array:
+    if HEAD_DENSE_IMPL == "map_einsum":
+        y = DenseTorch(c_t, hidden, dtype=dtype, impl_4d="einsum", name=name)(x)
+        return _to_tokens(y)
+    return DenseTorch(c_t, hidden, dtype=dtype, name=name)(_to_tokens(x))
+
 
 def _to_map(x: jax.Array, h: int, w: int) -> jax.Array:
     """[B, H*W, C] -> [B, H, W, C]."""
@@ -212,8 +226,7 @@ class LightConvAdapterHead(nn.Module):
             x = ConvTranspose2dTorch(hidden, hidden, 3, stride=2, output_padding=1, dtype=self.dtype, name="adapter_4")(x)  # 64
             x = jax.nn.relu(x)
             x = ln(hidden, 64, "adapter_6")(x)
-            x = _to_tokens(x)
-            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_8")(x)
+            x = _final_dense(x, c_t, hidden, self.dtype, "adapter_8")
         elif s_s == s_t:
             x = ln(c_s, s_s, "adapter_0")(x)
             x = Conv2dTorch(hidden, c_s, 3, padding=1, dtype=self.dtype, name="adapter_1")(x)
@@ -222,8 +235,7 @@ class LightConvAdapterHead(nn.Module):
             x = Conv2dTorch(hidden, hidden, 3, padding=1, dtype=self.dtype, name="adapter_4")(x)
             x = jax.nn.relu(x)
             x = ln(hidden, s_s, "adapter_6")(x)
-            x = _to_tokens(x)
-            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_8")(x)
+            x = _final_dense(x, c_t, hidden, self.dtype, "adapter_8")
         elif s_s == 64 and s_t == 16:
             x = ln(c_s, 64, "adapter_0")(x)
             x = Conv2dTorch(hidden, c_s, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 32
@@ -232,15 +244,13 @@ class LightConvAdapterHead(nn.Module):
             x = Conv2dTorch(hidden, hidden, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_4")(x)  # 16
             x = jax.nn.relu(x)
             x = ln(hidden, 16, "adapter_6")(x)
-            x = _to_tokens(x)
-            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_8")(x)
+            x = _final_dense(x, c_t, hidden, self.dtype, "adapter_8")
         elif s_t == 7:
             x = ln(c_s, s_s, "adapter_0")(x)
             x = Conv2dTorch(hidden, c_s, 4, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 14 -> 7
             x = jax.nn.relu(x)
             x = ln(hidden, 7, "adapter_3")(x)
-            x = _to_tokens(x)
-            x = DenseTorch(c_t, hidden, dtype=self.dtype, name="adapter_5")(x)
+            x = _final_dense(x, c_t, hidden, self.dtype, "adapter_5")
         else:
             # the reference forgets to raise here (adapter_heads.py:350) and
             # crashes later; we fail loudly

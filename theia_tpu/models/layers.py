@@ -22,11 +22,17 @@ from flax import linen as nn
 
 from theia_tpu.ops.convt import conv_transpose_2d
 
-# LayerNormSpatial per-sample statistics implementation: "vpu" = jnp.mean
-# reductions; "mxu" = dots with a ones vector. Measured on TPU v5e
-# (benchmarks/probe_tiny_variants.py, tiny cddsv B=256): mxu 101.8 ms vs
-# vpu 97.3 ms — the x^2 materialization for the second dot outweighs the
-# MXU win; kept opt-in as a documented negative result.
+try:  # remat name tags (no-ops outside jax.checkpoint regions)
+    from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+except ImportError:  # pragma: no cover
+    _ckpt_name = lambda x, name: x
+
+# LayerNormSpatial implementation:
+#   "vpu"      — plain autodiff, jnp.mean stats (round-1/2 default)
+#   "mxu"      — forward stats as ones-vector dots. Measured on v5e: 101.8 ms
+#                vs 97.3 ms vpu (x^2 materialization loses); negative result.
+#   "dots_vjp" — vpu forward stats + custom backward phrasing all four LN
+#                gradient reductions as MXU dots (ops/ln_spatial.py)
 LN_STATS_IMPL = "vpu"
 from theia_tpu.ops.init import (
     torch_conv_init,
@@ -51,13 +57,19 @@ class DenseTorch(nn.Module):
     in_features: int
     use_bias: bool = True
     dtype: Any = jnp.float32
+    impl_4d: str = "conv"  # "conv" | "einsum" — how a 4D NHWC input is handled
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kernel = self.param(
             "kernel", torch_linear_init(), (self.in_features, self.features), jnp.float32
         )
-        if x.ndim == 4:
+        if x.ndim == 4 and self.impl_4d == "einsum":
+            # dot_general directly on the conv-ladder map (no token reshape):
+            # lets XLA keep the ladder's layout instead of inserting the
+            # [B,HW,C] layout copies the round-2 trace flagged (~3.8 ms)
+            y = jnp.einsum("bhwc,co->bhwo", x.astype(self.dtype), kernel.astype(self.dtype))
+        elif x.ndim == 4:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.reshape(1, 1, self.in_features, self.features).astype(self.dtype),
@@ -72,7 +84,7 @@ class DenseTorch(nn.Module):
                 "bias", torch_linear_bias_init(self.in_features), (self.features,), jnp.float32
             )
             y = y + bias.astype(self.dtype)
-        return y.astype(self.dtype)
+        return _ckpt_name(y.astype(self.dtype), "conv_out")
 
 
 class Conv2dTorch(nn.Module):
@@ -103,7 +115,7 @@ class Conv2dTorch(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return (y + bias.astype(self.dtype)).astype(self.dtype)
+        return _ckpt_name((y + bias.astype(self.dtype)).astype(self.dtype), "conv_out")
 
 
 class ConvTranspose2dTorch(nn.Module):
@@ -136,7 +148,7 @@ class ConvTranspose2dTorch(nn.Module):
             padding=self.padding,
             output_padding=self.output_padding,
         )
-        return (y + bias.astype(self.dtype)).astype(self.dtype)
+        return _ckpt_name((y + bias.astype(self.dtype)).astype(self.dtype), "conv_out")
 
 
 class LayerNormTorch(nn.Module):
@@ -174,6 +186,19 @@ class LayerNormSpatial(nn.Module):
         c, h, w = self.shape_chw
         weight = self.param("weight", nn.initializers.ones, (c, h, w), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c, h, w), jnp.float32)
+        if LN_STATS_IMPL == "dots_vjp":
+            # custom MXU backward for the four LN reductions
+            # (autodiff's batch-dim affine grads ran at ~150 GB/s on the
+            # batch-minor conv-ladder maps; see ops/ln_spatial.py)
+            from theia_tpu.ops.ln_spatial import ln_spatial
+
+            return ln_spatial(
+                x,
+                weight.transpose(1, 2, 0),
+                bias.transpose(1, 2, 0),
+                self.eps,
+                dtype=self.dtype,
+            )
         # stats accumulate in f32 (XLA fuses the convert into the reduce);
         # the elementwise normalize/affine stays in the compute dtype so the
         # big (B,H,W,C) map is never materialized in f32 — profiling showed
@@ -194,6 +219,8 @@ class LayerNormSpatial(nn.Module):
         else:
             mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
             mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+            mean = _ckpt_name(mean, "ln_stats")
+            mean_sq = _ckpt_name(mean_sq, "ln_stats")
         var = mean_sq - jnp.square(mean)
         scale = jax.lax.rsqrt(var + self.eps).astype(self.dtype)
         shift = mean.astype(self.dtype)

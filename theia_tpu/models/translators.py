@@ -122,6 +122,19 @@ class ConvFeatureTranslator(nn.Module):
         return out
 
 
+# Rematerialization of the LightConv heads: save conv/dense outputs and LN
+# stats, recompute the elementwise relu/LN-normalize in the backward pass —
+# trades recompute reads for not storing the big normalized maps.
+HEAD_REMAT = False
+
+
+def _maybe_remat(head_cls):
+    if not HEAD_REMAT:
+        return head_cls
+    policy = jax.checkpoint_policies.save_only_these_names("conv_out", "ln_stats")
+    return nn.remat(head_cls, policy=policy, static_argnums=(2,))
+
+
 class LightConvFeatureTranslator(nn.Module):
     """Production translator: no pre-adapter, light conv heads
     (reference :159-205, backbone_adapter replaced by Identity at :183)."""
@@ -150,13 +163,13 @@ class LightConvFeatureTranslator(nn.Module):
                     name=f"head_{legit_name(t)}",
                 )(x, backbone_no_cls=backbone_no_cls)
             else:
-                out[t] = LightConvAdapterHead(
+                out[t] = _maybe_remat(LightConvAdapterHead)(
                     self.backbone_feature_size,
                     self.target_feature_sizes[t],
                     hidden_size_factor=self.hidden_size_factor,
                     dtype=self.dtype,
                     name=f"head_{legit_name(t)}",
-                )(x, backbone_no_cls=backbone_no_cls)
+                )(x, backbone_no_cls)
         return out
 
 

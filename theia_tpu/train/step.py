@@ -155,6 +155,7 @@ def make_train_step(
     def wrapper(state, images, targets, loss_masks=None):
         return jitted(state, images, targets, loss_masks)
 
+    wrapper._jitted = jitted  # for HLO inspection (benchmarks/map_fusions.py)
     return wrapper
 
 
