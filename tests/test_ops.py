@@ -157,3 +157,51 @@ def test_conv_transpose_adjoint_vjp_matches_autodiff():
             np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
     finally:
         C.CONVT_VJP = orig
+
+
+def test_conv_dw_dots_matches_autodiff():
+    """CONV_DW_IMPL="dots" (per-tap MXU dot weight-grads; engaged on the
+    wide-channel base ladders) must match autodiff for both the regular-conv
+    wrapper and the conv-transpose adjoint backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import theia_tpu.ops.conv_grads as G
+    import theia_tpu.ops.convt as C
+
+    rng = np.random.RandomState(0)
+    orig = G.CONV_DW_IMPL
+    try:
+        # regular conv: stride 1 pad 1 / stride 2 pad 1 / 1x1
+        for n, k, s, p in [(16, 3, 1, 1), (14, 3, 2, 1), (14, 1, 1, 0)]:
+            x = jnp.asarray(rng.randn(2, n, n, 5).astype(np.float32))
+            w = jnp.asarray(rng.randn(k, k, 5, 7).astype(np.float32))
+
+            def f(x_, w_):
+                return jnp.sum(jnp.sin(G.conv2d_nhwc(x_, w_, s, p)))
+
+            G.CONV_DW_IMPL = "xla"
+            dx_ref, dw_ref = jax.grad(f, argnums=(0, 1))(x, w)
+            G.CONV_DW_IMPL = "dots"
+            dx, dw = jax.grad(f, argnums=(0, 1))(x, w)
+            np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx_ref))
+            np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
+
+        # convT adjoint backward with dots dW on every ladder geometry
+        for n, k, s, p, op in [(16, 3, 2, 1, 0), (31, 3, 2, 1, 1), (14, 3, 1, 0, 0)]:
+            x = jnp.asarray(rng.randn(2, n, n, 5).astype(np.float32))
+            w = jnp.asarray(rng.randn(k, k, 5, 7).astype(np.float32))
+
+            def g(x_, w_):
+                y = C.conv_transpose_2d(x_, w_, stride=s, padding=p, output_padding=op)
+                return jnp.sum(jnp.sin(y))
+
+            G.CONV_DW_IMPL = "xla"
+            dx_ref, dw_ref = jax.grad(g, argnums=(0, 1))(x, w)
+            G.CONV_DW_IMPL = "dots"
+            dx, dw = jax.grad(g, argnums=(0, 1))(x, w)
+            np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
+    finally:
+        G.CONV_DW_IMPL = orig

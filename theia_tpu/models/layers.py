@@ -108,12 +108,12 @@ class Conv2dTorch(nn.Module):
         # no preferred_element_type: its VJP mixes f32 cotangents with the
         # low-precision kernel and conv requires matching dtypes; TPU bf16
         # convs accumulate in f32 on the MXU regardless
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        from theia_tpu.ops.conv_grads import conv2d_nhwc
+
+        # same forward custom-call; the backward picks MXU-dot weight-grads
+        # for wide-channel kernels (see ops/conv_grads.py measurements)
+        y = conv2d_nhwc(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.stride, self.padding
         )
         return _ckpt_name((y + bias.astype(self.dtype)).astype(self.dtype), "conv_out")
 

@@ -32,13 +32,22 @@ def smooth_l1_loss(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax
 def cosine_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
     """CosineEmbeddingLoss with target=+1 over flattened per-sample features.
 
-    torch F.normalize(dim=1) uses norm clamped to eps; equivalent here.
+    torch F.normalize(dim=1) uses norm clamped to eps; equivalent here as
+    sum(p*t) / (max(|p|,eps) * max(|t|,eps)) — the dot form. Written this
+    way all three reductions (p·t, p², t²) share ONE read pass over the big
+    prediction maps; the normalize-then-reduce form needs a second pass
+    because the product reduce depends on the completed norm reduce
+    (measured: the loss section of the cddsv step is pass-count-bound,
+    PERFORMANCE.md round-2c). Differs from the normalized form only in f32
+    rounding (one division instead of two elementwise ones).
     """
     p = pred.reshape(pred.shape[0], -1)
     t = target.reshape(target.shape[0], -1)
-    pn = p / jnp.maximum(jnp.linalg.norm(p, axis=1, keepdims=True), eps)
-    tn = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), eps)
-    return jnp.mean(1.0 - jnp.sum(pn * tn, axis=1))
+    s_pt = jnp.sum(p * t, axis=1)
+    s_pp = jnp.sum(p * p, axis=1)
+    s_tt = jnp.sum(t * t, axis=1)
+    denom = jnp.maximum(jnp.sqrt(s_pp), eps) * jnp.maximum(jnp.sqrt(s_tt), eps)
+    return jnp.mean(1.0 - s_pt / denom)
 
 
 def _losses_fused(pred: jax.Array, target: jax.Array, eps: float = 1e-12):

@@ -124,6 +124,16 @@ def _convt_vjp_bwd(stride, padding, output_padding, res, g):
     """
     x, kernel = res
     dx = _adjoint_conv(g, kernel, stride, padding, output_padding)
+    from theia_tpu.ops import conv_grads
+
+    if conv_grads._use_dots(kernel.shape[2], kernel.shape[3]):
+        # per-tap MXU dots instead of the conv-weight-grad lowering
+        # (see ops/conv_grads.py); the adjoint conv pads (p, p - op)
+        dw_swapped = conv_grads.conv_dw_dots(
+            g, x, kernel.shape[0], kernel.shape[1], stride,
+            padding, padding - output_padding,
+        )
+        return dx, jnp.transpose(dw_swapped, (0, 1, 3, 2))
     w_swapped = jnp.transpose(kernel, (0, 1, 3, 2))
 
     def conv_w(w):
