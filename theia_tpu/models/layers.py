@@ -186,6 +186,18 @@ class LayerNormSpatial(nn.Module):
         c, h, w = self.shape_chw
         weight = self.param("weight", nn.initializers.ones, (c, h, w), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c, h, w), jnp.float32)
+        if LN_STATS_IMPL == "pallas":
+            # chunked Pallas backward (ops/ln_pallas.py): streams the maps at
+            # HBM rate instead of autodiff's ~150 GB/s mega-fusions at base
+            from theia_tpu.ops.ln_pallas import ln_spatial_pallas
+
+            return ln_spatial_pallas(
+                x,
+                weight.transpose(1, 2, 0),
+                bias.transpose(1, 2, 0),
+                self.eps,
+                self.dtype,
+            )
         if LN_STATS_IMPL == "dots_vjp":
             # custom MXU backward for the four LN reductions
             # (autodiff's batch-dim affine grads ran at ~150 GB/s on the
