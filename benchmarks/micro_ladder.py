@@ -44,8 +44,11 @@ def main() -> None:
 
     ln_mod = L.LayerNormSpatial((c, n_out, n_out), dtype=jnp.bfloat16)
 
-    def make_fn(barrier: bool = False, ln_impl: str = "vpu", subpixel: bool = False):
+    def make_fn(barrier: bool = False, ln_impl: str = "vpu", subpixel: bool = False,
+                convt_fwd: str = "dilated"):
         def f(x, w, bias, ln_w, ln_b, g_like):
+            import theia_tpu.ops.convt as C
+            C.CONVT_FWD = convt_fwd
             L.LN_STATS_IMPL = ln_impl
             # the 31->64 ladder stage: k=3, s=2, p=0, op=1 (adapter_heads.py:163)
             y = conv_transpose_2d(
@@ -93,9 +96,7 @@ def main() -> None:
         print(json.dumps({"grad_check": name, "max_rel": round(rel, 6)}), flush=True)
 
     bench("current", make_fn())
-    bench("pallas_ln", make_fn(ln_impl="pallas"))
-    bench("subpixel", make_fn(subpixel=True))
-    bench("subpix+pallas", make_fn(subpixel=True, ln_impl="pallas"))
+    bench("classes_fwd", make_fn(convt_fwd="classes"))
     bench("current2", make_fn())
 
     if "--trace" in sys.argv:

@@ -205,3 +205,53 @@ def test_conv_dw_dots_matches_autodiff():
             np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4)
     finally:
         G.CONV_DW_IMPL = orig
+
+
+def test_conv_transpose_classes_fwd_matches_dilated():
+    """The opt-in residue-class stride-2 forward (CONVT_FWD="classes") must
+    match the dilated lowering on every ladder geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import theia_tpu.ops.convt as C
+
+    rng = np.random.RandomState(0)
+    for n, k, p, op in [(16, 3, 1, 0), (31, 3, 0, 1), (7, 2, 0, 0), (10, 4, 1, 1)]:
+        x = jnp.asarray(rng.randn(2, n, n, 5).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, 5, 7).astype(np.float32))
+        ref = C._convt_fwd_impl(x, w, 2, p, op)
+        got = C._conv_transpose_s2_classes(x, w, p, op)
+        assert ref.shape == got.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_ln_spatial_pallas_fallback_matches_autodiff():
+    """ln_spatial_pallas (opt-in LN_STATS_IMPL="pallas") must match plain
+    autodiff grads; off-TPU this exercises the fallback backward math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import theia_tpu.models.layers as L
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 8, 16).astype(np.float32))
+    m = L.LayerNormSpatial((16, 8, 8), dtype=jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+
+    def grads(impl):
+        L.LN_STATS_IMPL = impl
+        return jax.grad(
+            lambda x_, p_: jnp.sum(jnp.sin(m.apply({"params": p_}, x_))),
+            argnums=(0, 1),
+        )(x, p)
+
+    orig = L.LN_STATS_IMPL
+    try:
+        ref = grads("vpu")
+        got = grads("pallas")
+    finally:
+        L.LN_STATS_IMPL = orig
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

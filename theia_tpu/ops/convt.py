@@ -15,6 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -23,6 +24,75 @@ from jax import lax
 # conv (whose rhs-grad rule reverses the full gradient activations — the
 # ~2.5 ms/step `reverse` ops in the round-2 trace).
 CONVT_VJP = "auto"
+
+# Forward lowering toggle: "dilated" = lhs-dilated conv (XLA custom-call;
+# computes ~4x the essential MACs on the dilation zeros at the s=2 ladder
+# geometries), "classes" = stride-2 residue-class decomposition — four
+# stride-1 convs doing only the essential MACs, interleaved by one
+# stack+reshape pass (NOT the interior-pad+sum of _conv_transpose_subpixel,
+# which writes 5x the output bytes and measured 17.5 -> 30.7 ms in the
+# micro bench).
+CONVT_FWD = "dilated"
+
+
+def _class_taps(r: int, k: int, s: int, p: int) -> list[tuple[int, int]]:
+    """Taps (a, d) of output class o%s==r: contribution x[j-d]*W[a] with
+    d = (a - p - r)/s; sorted by d descending (kernel index t <-> dmax-t)."""
+    taps = [(a, (a - p - r) // s) for a in range(k) if (a - p) % s == r % s]
+    taps.sort(key=lambda ad: -ad[1])
+    return taps
+
+
+def _conv_transpose_s2_classes(
+    x: jax.Array,
+    kernel: jax.Array,
+    padding: int,
+    output_padding: int,
+    preferred_element_type: jnp.dtype | None = None,
+) -> jax.Array:
+    """Stride-2 transposed conv as 4 residue-class stride-1 convs + one
+    interleave reshape: y[n, 2j+rh, 2k+rw, :] = cls[rh][rw][n, j, k, :]."""
+    s = 2
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    n_h, n_w = x.shape[1], x.shape[2]
+    m_h = (n_h - 1) * s - 2 * padding + kh + output_padding
+    m_w = (n_w - 1) * s - 2 * padding + kw + output_padding
+    mm_h = (m_h + 1) // 2
+    mm_w = (m_w + 1) // 2
+
+    rows = []
+    for r_h in (0, 1):
+        taps_h = _class_taps(r_h, kh, s, padding)
+        cnt_h = (m_h - r_h + 1) // 2
+        cols = []
+        for r_w in (0, 1):
+            taps_w = _class_taps(r_w, kw, s, padding)
+            cnt_w = (m_w - r_w + 1) // 2
+            sub = kernel[np.array([a for a, _ in taps_h])][
+                :, np.array([a for a, _ in taps_w])
+            ]
+            y = lax.conv_general_dilated(
+                x,
+                sub,
+                window_strides=(1, 1),
+                padding=(
+                    (taps_h[0][1], cnt_h - n_h - taps_h[-1][1]),
+                    (taps_w[0][1], cnt_w - n_w - taps_w[-1][1]),
+                ),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=preferred_element_type,
+            )
+            if cnt_h < mm_h or cnt_w < mm_w:
+                y = lax.pad(
+                    y,
+                    jnp.zeros((), y.dtype),
+                    [(0, 0, 0), (0, mm_h - cnt_h, 0), (0, mm_w - cnt_w, 0), (0, 0, 0)],
+                )
+            cols.append(y)
+        rows.append(jnp.stack(cols, axis=3))      # [N, mm_h, mm_w, 2, C]
+    t = jnp.stack(rows, axis=2)                    # [N, mm_h, 2(rh), mm_w, 2(rw), C]
+    y = t.reshape(x.shape[0], 2 * mm_h, 2 * mm_w, t.shape[-1])
+    return y[:, :m_h, :m_w]
 
 
 def conv_transpose_2d(
@@ -68,6 +138,10 @@ def _convt_fwd_impl(
     output_padding: int,
     preferred_element_type: jnp.dtype | None = None,
 ) -> jax.Array:
+    if CONVT_FWD == "classes" and stride == 2:
+        return _conv_transpose_s2_classes(
+            x, kernel, padding, output_padding, preferred_element_type
+        )
     kh, kw = kernel.shape[0], kernel.shape[1]
     # transposed conv == conv over input dilated by `stride`, with the kernel
     # spatially flipped, pad (k-1-p) low / (k-1-p+output_padding) high.
