@@ -260,3 +260,59 @@ def test_worker_split_and_parallel_loader(tmp_path):
     loader = get_frame_dataloader(ds, batch_size=4, num_workers=2)
     batches = list(loader)
     assert sum(b["image"].shape[0] for b in batches) == 32
+
+
+def test_gather_shape_mismatch_raises():
+    """The native-collate path must reject mixed shapes/dtypes loudly (the
+    C memcpy would otherwise read past the smaller source buffer)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from theia_tpu.data.fastpack import gather
+
+    ok = gather([np.ones((4, 4), np.float32)] * 3)
+    assert ok.shape == (3, 4, 4)
+    with _pytest.raises(ValueError, match="sample 1"):
+        gather([np.ones((64, 64), np.uint8), np.ones((64, 63), np.uint8)])
+    with _pytest.raises(ValueError, match="dtype"):
+        gather([np.ones((64, 64), np.uint8), np.ones((64, 64), np.int16)])
+
+
+def test_batched_loader_closes_abandoned_pass():
+    """Re-iterating the loader mid-pass must close the previous pass's
+    source generator (the train loop abandons the iterator every epoch; an
+    unclosed source leaks loader worker processes per epoch)."""
+    import time
+
+    import numpy as np
+
+    from theia_tpu.data.dataset import _BatchedLoader
+
+    state = {"closed": 0}
+
+    class Source:
+        def __iter__(self):
+            try:
+                for i in range(1000):
+                    yield {"image": np.full((2, 2), i, np.uint8)}
+            finally:
+                state["closed"] += 1
+
+    loader = _BatchedLoader(Source(), batch_size=4, drop_last=True, prefetch=2)
+    it = iter(loader)
+    next(it)  # mid-pass
+    it2 = iter(loader)  # new epoch: must close the abandoned pass
+    for _ in range(20):
+        if state["closed"] >= 1:
+            break
+        time.sleep(0.05)
+    assert state["closed"] == 1
+    next(it2)
+    # full exhaustion also closes
+    for _ in it2:
+        pass
+    for _ in range(20):
+        if state["closed"] >= 2:
+            break
+        time.sleep(0.05)
+    assert state["closed"] == 2

@@ -281,3 +281,52 @@ def test_loss_masks_freeze_opt_state(tiny_theia):
     assert all(int(c) == 1 for c in cnt_a)
     mu_b = jax.tree.leaves(s1.opt_state.mu["translator_module"]["head_teacher_b"])
     assert all(float(jnp.max(jnp.abs(m))) == 0.0 for m in mu_b)
+
+
+def test_plain_optax_tx_with_freeze_and_masks():
+    """A vanilla optax transformation (no masked-optimizer `mask` kwarg)
+    must still work with freeze_translator / loss_masks: the mask is then
+    applied to the returned updates (weaker moment semantics, documented in
+    step.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from theia_tpu.models.rvfm import Theia
+    from theia_tpu.train.state import TrainState
+    from theia_tpu.train.step import make_train_step
+
+    targets_spec = {"facebook/sam-vit-huge": (8, 16, 16)}
+    model = Theia(
+        backbone="facebook/deit-tiny-patch16-224",
+        translator="lconv",
+        target_feature_sizes=targets_spec,
+    )
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (2, 224, 224, 3), np.uint8))
+    targets = {
+        k: jnp.asarray(rng.randn(2, s[1] * s[2], s[0]).astype(np.float32))
+        for k, s in targets_spec.items()
+    }
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+    tx = optax.adamw(1e-3)  # plain optax: update() has no mask kwarg
+    step = make_train_step(
+        model, tx, main_loss="cos_l1",
+        freeze_translator=True, freeze_translator_start_step=0,
+    )
+    state = TrainState.create(params, tx)
+    before = jax.tree.map(np.asarray, params)  # step donates the state
+    new_state, metrics = step(state, images, targets)
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen from step 0: translator params unchanged, backbone trained
+    same = jax.tree.map(
+        lambda a, b: bool(np.all(a == np.asarray(b))),
+        before["translator_module"], new_state.params["translator_module"],
+    )
+    assert all(jax.tree.leaves(same))
+    moved = jax.tree.map(
+        lambda a, b: bool(np.any(a != np.asarray(b))),
+        before["backbone_module"], new_state.params["backbone_module"],
+    )
+    assert any(jax.tree.leaves(moved))

@@ -361,43 +361,86 @@ def _collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
     return out
 
 
-class _Prefetcher:
-    """Background-thread prefetch of ready batches (depth-bounded)."""
+class _PrefetchIter:
+    """Background-thread prefetch of ready batches (depth-bounded).
 
-    def __init__(self, source: Iterable, depth: int = 4) -> None:
-        self.source = source
-        self.depth = depth
+    Closeable: ``close()`` unblocks the producer thread and closes the
+    source generator so its cleanup (e.g. ParallelSampleSource terminating
+    its worker processes) runs promptly. Without this, an iterator
+    abandoned mid-pass — which the train loop does at the end of every
+    epoch — left the producer blocked in ``q.put`` holding the source
+    alive, leaking one worker set per epoch."""
 
-    def __iter__(self) -> Generator:
-        q: queue.Queue = queue.Queue(maxsize=self.depth)
-        sentinel = object()
-        err: list[BaseException] = []
+    def __init__(self, source: Iterator, depth: int = 4) -> None:
+        self._source = source
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._stop = threading.Event()
+        self._err: list[BaseException] = []
+        self._t = threading.Thread(target=self._produce, daemon=True)
+        self._t.start()
 
-        def worker() -> None:
-            try:
-                for item in self.source:
-                    q.put(item)
-            except BaseException as e:  # propagate into consumer
-                err.append(e)
-            finally:
-                q.put(sentinel)
+    def _produce(self) -> None:
+        try:
+            for item in self._source:
+                placed = False
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        placed = True
+                        break
+                    except queue.Full:
+                        continue
+                if not placed:
+                    break
+        except BaseException as e:  # propagate into consumer
+            self._err.append(e)
+        finally:
+            close = getattr(self._source, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except BaseException:
+                    pass
+            # deliver the sentinel reliably on normal completion (the queue
+            # may be full of unconsumed batches); give up only when closed —
+            # then the consumer is gone and nothing waits on it
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+    def close(self) -> None:
+        self._stop.set()
+        # drain so a producer blocked on a full queue can observe the stop
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._t.join(timeout=5)
+
+    def __iter__(self) -> "_PrefetchIter":
+        return self
+
+    def __next__(self) -> Any:
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
 
 
 class _BatchedLoader:
     """Re-iterable batched loader: every ``iter()`` builds a fresh batch
     generator + prefetch thread over the (re-iterable) sample source, so
     ``iter(loader)`` after exhaustion starts a new pass — the train loop
-    re-iterates when an epoch needs more batches than one pass yields."""
+    re-iterates when an epoch needs more batches than one pass yields.
+    Starting a new pass closes the previous pass's prefetcher (and through
+    it any loader worker processes)."""
 
     def __init__(
         self,
@@ -405,13 +448,12 @@ class _BatchedLoader:
         batch_size: int,
         drop_last: bool,
         prefetch: int,
-        num_workers: int = 0,
     ) -> None:
         self.source = source
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self.num_workers = num_workers
+        self._active: Optional[_PrefetchIter] = None
 
     def _batches(self) -> Generator:
         buf: list = []
@@ -424,7 +466,14 @@ class _BatchedLoader:
             yield _collate(buf)
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
-        return iter(_Prefetcher(self._batches(), depth=self.prefetch))
+        if self._active is not None:
+            self._active.close()
+        self._active = _PrefetchIter(self._batches(), depth=self.prefetch)
+        return self._active
+
+    def __del__(self) -> None:  # pragma: no cover - GC timing
+        if getattr(self, "_active", None) is not None:
+            self._active.close()
 
 
 def get_frame_dataloader(

@@ -25,13 +25,22 @@ _tried = False
 
 
 def _build() -> bool:
+    # build to a per-process temp path then atomically rename: concurrent
+    # loader workers may race to build, and dlopen of a half-written .so
+    # would silently demote that worker to the numpy path for the whole run
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -71,6 +80,14 @@ def gather(arrays: list[np.ndarray], nthreads: Optional[int] = None) -> np.ndarr
     lib = get_lib()
     itemsize = first.nbytes
     contig = [np.ascontiguousarray(a) for a in arrays]
+    for i, a in enumerate(contig):
+        # np.stack would raise loudly here; the native memcpy would instead
+        # read past a smaller source buffer, so validate up front
+        if a.shape != first.shape or a.dtype != first.dtype:
+            raise ValueError(
+                f"gather: sample {i} has shape {a.shape} dtype {a.dtype}, "
+                f"expected {first.shape} {first.dtype}"
+            )
     if lib is None or itemsize < 4096:
         for i, a in enumerate(contig):
             out[i] = a

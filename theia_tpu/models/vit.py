@@ -175,13 +175,22 @@ class _TransformerBlock(nn.Module):
             for n in ("query", "key", "value")
         ]
         w_qkv = jnp.concatenate([w for w, _ in wk_bk], axis=1).astype(self.dtype)
+
+        def proj_out_bhqd(ctx: jax.Array) -> jax.Array:
+            # contract (h, d) directly in the output projection so the
+            # [B,T,H,hd] transpose-back copy never materializes
+            wo, bo = _QKVParams(c, cfg.initializer_range, True, name="attention_output")()
+            return (
+                jnp.einsum("bhqd,hdc->bqc", ctx, wo.reshape(nh, hd, c).astype(self.dtype))
+                + bo.astype(self.dtype)
+            )
+
         if cfg.fast_math and ATTN_LAYOUT == "packed_bhqd":
             # one projection einsum emitting q/k/v directly in [b,h,t,d].
             # Measured NEUTRAL at tiny / -0.8% at base (benchmarks/
             # probe_packed_qkv.py) — the split-path copies are already fused
             # away by XLA, so this stays opt-in. Bitwise identical to the
             # split path (same matmul, same contraction order).
-            wo, bo = _QKVParams(c, cfg.initializer_range, True, name="attention_output")()
             qkv = jnp.einsum("btc,cghd->bghtd", h, w_qkv.reshape(c, 3, nh, hd))
             if cfg.qkv_bias:
                 b_qkv = jnp.concatenate([bb for _, bb in wk_bk]).astype(self.dtype)
@@ -189,48 +198,32 @@ class _TransformerBlock(nn.Module):
             q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=self.dtype)
             probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-            attn_out = (
-                jnp.einsum("bhqd,hdc->bqc", ctx, wo.reshape(nh, hd, c).astype(self.dtype))
-                + bo.astype(self.dtype)
-            )
-            x = x + attn_out
-            h = ln("layernorm_after")(x)
-            h = dense(cfg.intermediate_size, "intermediate")(h)
-            h = jax.nn.gelu(h, approximate=cfg.fast_math)
-            x = x + dense(c, "output")(h)
-            return x
-        qkv = jnp.dot(h, w_qkv)
-        if cfg.qkv_bias:
-            qkv = qkv + jnp.concatenate([bb for _, bb in wk_bk]).astype(self.dtype)
-        q, k, v = (y.reshape(b, t, nh, hd) for y in jnp.split(qkv, 3, axis=-1))
-        if cfg.fast_math and ATTN_LAYOUT == "bhqd_fused":
-            # keep the context in [B,H,T,hd] and contract (h,d) directly in
-            # the output projection — the [B,T,H,hd] transpose-back copy the
-            # round-1 trace flagged never materializes
-            wo, bo = _QKVParams(c, cfg.initializer_range, True, name="attention_output")()
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype)
-            probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
-            ctx = jnp.einsum("bhqk,bkhd->bhqd", probs, v)
-            attn_out = (
-                jnp.einsum(
-                    "bhqd,hdc->bqc", ctx, wo.reshape(nh, hd, c).astype(self.dtype)
-                )
-                + bo.astype(self.dtype)
-            )
-            x = x + attn_out
-        elif cfg.fast_math:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype)
-            probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
-            x = x + dense(c, "attention_output")(ctx)
+            x = x + proj_out_bhqd(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
         else:
-            from theia_tpu.ops.attention import multi_head_attention
+            qkv = jnp.dot(h, w_qkv)
+            if cfg.qkv_bias:
+                qkv = qkv + jnp.concatenate([bb for _, bb in wk_bk]).astype(self.dtype)
+            q, k, v = (y.reshape(b, t, nh, hd) for y in jnp.split(qkv, 3, axis=-1))
+            if cfg.fast_math and ATTN_LAYOUT == "bhqd_fused":
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype
+                )
+                probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+                x = x + proj_out_bhqd(jnp.einsum("bhqk,bkhd->bhqd", probs, v))
+            elif cfg.fast_math:
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype
+                )
+                probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
+                x = x + dense(c, "attention_output")(ctx)
+            else:
+                from theia_tpu.ops.attention import multi_head_attention
 
-            ctx = multi_head_attention(
-                q, k, v, dtype=self.dtype, implementation=cfg.attention_impl
-            ).reshape(b, t, c)
-            x = x + dense(c, "attention_output")(ctx)
+                ctx = multi_head_attention(
+                    q, k, v, dtype=self.dtype, implementation=cfg.attention_impl
+                ).reshape(b, t, c)
+                x = x + dense(c, "attention_output")(ctx)
 
         h = ln("layernorm_after")(x)
         h = dense(cfg.intermediate_size, "intermediate")(h)

@@ -67,14 +67,16 @@ def conv_dw_dots(
     """
     n, _, _, i = lhs.shape
     _, p, q, o = dy.shape
-    # pad exactly the window the taps will read; lax.pad accepts negative
-    # edge padding (crop), which the convT adjoint needs (pad_hi = p - op)
-    need = stride * (p - 1) + kh
+    # pad exactly the window the taps will read (per spatial dim — the
+    # extents differ for non-square inputs/kernels); lax.pad accepts
+    # negative edge padding (crop), which the convT adjoint needs
+    need_h = stride * (p - 1) + kh
+    need_w = stride * (q - 1) + kw
     x_pad = lax.pad(
         lhs,
         jnp.zeros((), lhs.dtype),
-        [(0, 0, 0), (pad_lo, need - lhs.shape[1] - pad_lo, 0),
-         (pad_lo, need - lhs.shape[2] - pad_lo, 0), (0, 0, 0)],
+        [(0, 0, 0), (pad_lo, need_h - lhs.shape[1] - pad_lo, 0),
+         (pad_lo, need_w - lhs.shape[2] - pad_lo, 0), (0, 0, 0)],
     )
     del pad_hi  # implied by the output extent; kept in the signature for clarity
     taps = []

@@ -189,7 +189,14 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     global_batch = batch_size * n_chips
     host_batch = global_batch // process_count
     train_epoch_steps = math.ceil(train_len / batch_size / n_chips)
-    eval_epoch_steps = math.ceil(eval_len / batch_size / n_chips)
+    # single host: ceil keeps the partial tail batch (an eval set smaller
+    # than one batch must still evaluate). multi-host: floor — every host
+    # must run the same jitted step count, and ceil would make exhausted
+    # hosts re-feed early batches, biasing avg_eval_* toward them.
+    if jax.process_count() > 1:
+        eval_epoch_steps = max(eval_len // (batch_size * n_chips), 1)
+    else:
+        eval_epoch_steps = math.ceil(eval_len / batch_size / n_chips)
     if max_steps is not None:
         train_epoch_steps = min(train_epoch_steps, max_steps)
         eval_epoch_steps = min(eval_epoch_steps, max(max_steps // 4, 1))
@@ -272,8 +279,8 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
 
     steps = int(state.step)
     summary: dict[str, Any] = {}
-    t_start = time.time()
     for ep in range(int(cfg.training.epochs)):
+        t_start = time.time()  # per-epoch, like images_seen below
         meters = create_meters(target_model_names)
         loader = get_frame_dataloader(
             train_ds,

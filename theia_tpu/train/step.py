@@ -22,6 +22,17 @@ from theia_tpu.train.optim import clip_grad_norm
 from theia_tpu.train.state import TrainState
 
 
+def _accepts_mask(tx: optax.GradientTransformation) -> bool:
+    """True when tx.update takes our masked-optimizer ``mask`` kwarg
+    (train.optim.make_optimizer); plain optax transformations don't."""
+    import inspect
+
+    try:
+        return "mask" in inspect.signature(tx.update).parameters
+    except (TypeError, ValueError):  # builtins / partials without signatures
+        return False
+
+
 def prepare_targets(
     targets: Mapping[str, jax.Array],
     target_stats: Optional[Mapping[str, tuple]] = None,
@@ -128,11 +139,21 @@ def make_train_step(
 
             update_mask = jax.tree_util.tree_map_with_path(leaf_mask, state.params)
 
-        if update_mask is not None:
+        if update_mask is not None and _accepts_mask(tx):
             updates, new_opt_state = tx.update(
                 grads, state.opt_state, state.params, mask=update_mask
             )
-        else:  # plain GradientTransformations stay usable
+        elif update_mask is not None:
+            # plain optax transformations don't take the mask kwarg: mask the
+            # applied updates instead. NOTE this is weaker than the masked
+            # optimizer (moments/step counts still advance for masked leaves,
+            # unlike make_optimizer's torch-grad-less semantics) but keeps
+            # freeze/subsampling usable with any GradientTransformation.
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(
+                lambda u, m: u * m.astype(u.dtype), updates, update_mask
+            )
+        else:
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
