@@ -1,0 +1,114 @@
+"""Tensor parallelism over the mesh "model" axis (parallel/tp.py).
+
+DP(8,1), DP+TP(4,2) and DP+TP(2,4) must produce the same losses and the
+same updated params for identical inputs — the sharding annotations change
+only the partitioning, not the math. Runs on the 8-device virtual CPU mesh
+(conftest.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theia_tpu.models import vit as jvit
+from theia_tpu.models.rvfm import Theia
+from theia_tpu.parallel.mesh import make_mesh, shard_batch
+from theia_tpu.parallel.tp import backbone_tp_specs, train_state_shardings, validate_tp
+from theia_tpu.train.optim import constant_with_warmup, make_optimizer
+from theia_tpu.train.state import TrainState
+from theia_tpu.train.step import make_train_step
+
+TARGETS = {"facebook/dinov2-large": (1024, 16, 16), "facebook/sam-vit-huge": (256, 64, 64)}
+
+
+@pytest.fixture()
+def small_backbone():
+    # deit-base geometry (12 heads -> model axis 2 and 4 divide), 2 layers
+    name = "facebook/deit-base-patch16-224"
+    orig = jvit.BACKBONE_CONFIGS[name]
+    jvit.BACKBONE_CONFIGS[name] = dataclasses.replace(orig, num_layers=2)
+    yield name
+    jvit.BACKBONE_CONFIGS[name] = orig
+
+
+def _run_two_steps(name, n_model):
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (8, 224, 224, 3), np.uint8))
+    targets = {
+        k: jnp.asarray(rng.randn(8, s[1] * s[2], s[0]).astype(np.float32))
+        for k, s in TARGETS.items()
+    }
+    model = Theia(backbone=name, translator="lconv", target_feature_sizes=TARGETS)
+    params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
+    tx = make_optimizer(constant_with_warmup(1e-3, 10), weight_decay=0.01)
+    state = TrainState.create(params, tx)
+
+    mesh = make_mesh(n_model=n_model)
+    state_sh = None
+    if n_model > 1:
+        validate_tp(12, 3072, n_model)
+        specs = backbone_tp_specs(params)
+        state_sh = train_state_shardings(mesh, tx, params, specs)
+    step = make_train_step(
+        model, tx, main_loss="cos_l1", mesh=mesh, state_shardings=state_sh,
+        donate=False,
+    )
+    images_s, targets_s = shard_batch(mesh, (images, targets))
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, images_s, targets_s)
+        losses.append(float(metrics["loss"]))
+    final = jax.device_get(state.params)
+    return losses, final
+
+
+def test_tp_matches_dp(small_backbone):
+    ref_losses, ref_params = _run_two_steps(small_backbone, 1)
+    for n_model in (2, 4):
+        losses, params = _run_two_steps(small_backbone, n_model)
+        np.testing.assert_allclose(losses, ref_losses, rtol=2e-5)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_params)[0],
+            jax.tree_util.tree_flatten_with_path(params)[0],
+        ):
+            assert pa == pb
+            # f32 collective reduction order differs between partitionings;
+            # two Adam steps amplify it to ~1e-4 on a handful of elements
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4,
+                err_msg=f"model_axis={n_model} param {pa}",
+            )
+
+
+def test_tp_actually_shards(small_backbone):
+    """The block matmul params must really live sharded on the model axis."""
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (8, 224, 224, 3), np.uint8))
+    targets = {
+        k: jnp.asarray(rng.randn(8, s[1] * s[2], s[0]).astype(np.float32))
+        for k, s in TARGETS.items()
+    }
+    model = Theia(backbone=small_backbone, translator="lconv", target_feature_sizes=TARGETS)
+    params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
+    tx = make_optimizer(constant_with_warmup(1e-3, 10), weight_decay=0.01)
+    state = TrainState.create(params, tx)
+    mesh = make_mesh(n_model=2)
+    specs = backbone_tp_specs(params)
+    state_sh = train_state_shardings(mesh, tx, params, specs)
+    step = make_train_step(
+        model, tx, main_loss="cos_l1", mesh=mesh, state_shardings=state_sh,
+        donate=False,
+    )
+    state, _ = step(state, *shard_batch(mesh, (images, targets)))
+    qk = state.params["backbone_module"]["block_0"]["query"]["kernel"]
+    # sharded over the model axis on the output dim: each shard holds half
+    spec = qk.sharding.spec
+    assert "model" in tuple(spec), spec
+    assert qk.addressable_shards[0].data.shape[1] == qk.shape[1] // 2
+
+
+def test_validate_tp_rejects_indivisible():
+    with pytest.raises(ValueError, match="must divide"):
+        validate_tp(3, 768, 2)

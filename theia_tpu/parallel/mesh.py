@@ -23,7 +23,9 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """("data", "model") mesh. Default: all devices on the data axis —
-    the reference's only training parallelism is DP (SURVEY.md §2.8)."""
+    the reference's only training parallelism is DP (SURVEY.md §2.8).
+    n_model > 1 enables tensor parallelism over the "model" axis via the
+    GSPMD param specs in theia_tpu.parallel.tp (training.model_axis)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model

@@ -124,8 +124,19 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         fast_math=bool(cfg.training.get("fast_math", False)),
     )
 
-    mesh = make_mesh()
+    # model_axis > 1 shards the backbone over the mesh "model" axis
+    # (tensor parallelism, parallel/tp.py); data parallelism fills the rest
+    n_model = int(cfg.training.get("model_axis", 1) or 1)
+    mesh = make_mesh(n_model=n_model)
     n_chips = int(mesh.devices.size)
+    n_data = n_chips // n_model
+    if n_model > 1:
+        from theia_tpu.models.vit import BACKBONE_CONFIGS
+        from theia_tpu.parallel.tp import validate_tp
+
+        bb_cfg = BACKBONE_CONFIGS.get(model.backbone)
+        if bb_cfg is not None:
+            validate_tp(bb_cfg.num_heads, bb_cfg.intermediate_size, n_model)
 
     feature_norm = cfg.dataset.feature_norm
     target_stats = None
@@ -186,17 +197,18 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     # global batch = per-host batch * host count; steps math mirrors
     # train_rvfm.py:294-301 with world_size == number of chips
     batch_size = int(cfg.training.batch_size)  # per chip
-    global_batch = batch_size * n_chips
+    # batch rows shard over the DATA axis only (model_axis shards params)
+    global_batch = batch_size * n_data
     host_batch = global_batch // process_count
-    train_epoch_steps = math.ceil(train_len / batch_size / n_chips)
+    train_epoch_steps = math.ceil(train_len / batch_size / n_data)
     # single host: ceil keeps the partial tail batch (an eval set smaller
     # than one batch must still evaluate). multi-host: floor — every host
     # must run the same jitted step count, and ceil would make exhausted
     # hosts re-feed early batches, biasing avg_eval_* toward them.
     if jax.process_count() > 1:
-        eval_epoch_steps = max(eval_len // (batch_size * n_chips), 1)
+        eval_epoch_steps = max(eval_len // (batch_size * n_data), 1)
     else:
-        eval_epoch_steps = math.ceil(eval_len / batch_size / n_chips)
+        eval_epoch_steps = math.ceil(eval_len / batch_size / n_data)
     if max_steps is not None:
         train_epoch_steps = min(train_epoch_steps, max_steps)
         eval_epoch_steps = min(eval_epoch_steps, max(max_steps // 4, 1))
@@ -204,7 +216,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     warmup_steps = int(cfg.training.warm_up_steps_ratio * total_train_steps)
 
     lr = scaled_lr(
-        float(cfg.training.base_lr), batch_size, n_chips,
+        float(cfg.training.base_lr), batch_size, n_data,
         int(cfg.training.base_batch_size), int(cfg.training.base_world_size),
     )
     schedule = build_lr_schedule(cfg, lr, total_train_steps, warmup_steps)
@@ -219,7 +231,18 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     init_images = jnp.zeros((2, 224, 224, 3), jnp.uint8)
     params = model.init(jax.random.PRNGKey(cfg.seed), init_images)["params"]
     state = TrainState.create(params, tx)
-    state = jax.device_put(state, replicated(mesh))
+
+    state_shardings = None
+    params_sharding = None
+    if n_model > 1:
+        from theia_tpu.parallel.tp import backbone_tp_specs, train_state_shardings
+
+        specs = backbone_tp_specs(state.params)
+        state_shardings = train_state_shardings(mesh, tx, state.params, specs)
+        params_sharding = state_shardings.params
+        state = jax.tree.map(jax.device_put, state, state_shardings)
+    else:
+        state = jax.device_put(state, replicated(mesh))
 
     ckpt_dir = os.path.join(cfg.logging.model_path, cfg.logging.run_identifier_prefix)
     if resume:
@@ -241,6 +264,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         ),
         mesh=mesh,
         target_stats=target_stats,
+        state_shardings=state_shardings,
     )
     eval_step = make_eval_step(
         model,
@@ -248,6 +272,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         target_loss_weights=cfg.training.target_models.get("target_model_weights"),
         mesh=mesh,
         target_stats=target_stats,
+        params_sharding=params_sharding,
     )
 
     logger = MetricLogger(

@@ -70,6 +70,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     target_stats: Optional[Mapping[str, tuple]] = None,
+    state_shardings: Optional[Any] = None,
 ) -> Callable:
     """Build train_step(state, images, targets, loss_masks=None) -> (state, metrics).
 
@@ -166,10 +167,14 @@ def make_train_step(
     else:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        # state_shardings (parallel.tp.train_state_shardings) shards the
+        # backbone params/moments over the "model" axis — tensor parallelism
+        # via GSPMD annotations; default is replicated params (pure DP)
+        state_sh = state_shardings if state_shardings is not None else repl
         jitted = jax.jit(
             train_step,
-            in_shardings=(repl, data, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, data, data, repl),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,) if donate else (),
         )
 
@@ -187,6 +192,7 @@ def make_eval_step(
     target_loss_weights: Optional[Mapping[str, float]] = None,
     mesh: Optional[Mesh] = None,
     target_stats: Optional[Mapping[str, tuple]] = None,
+    params_sharding: Optional[Any] = None,
 ) -> Callable:
     """eval_step(params, images, targets) -> metrics (train_rvfm.py:159-192)."""
 
@@ -208,4 +214,5 @@ def make_eval_step(
         return jax.jit(eval_step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(eval_step, in_shardings=(repl, data, data), out_shardings=repl)
+    psh = params_sharding if params_sharding is not None else repl
+    return jax.jit(eval_step, in_shardings=(psh, data, data), out_shardings=repl)
