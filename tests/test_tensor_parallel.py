@@ -112,3 +112,47 @@ def test_tp_actually_shards(small_backbone):
 def test_validate_tp_rejects_indivisible():
     with pytest.raises(ValueError, match="must divide"):
         validate_tp(3, 768, 2)
+
+
+def test_tp_train_from_config_and_resume(tmp_path):
+    """model_axis=2 through the full config path: train, orbax-save the
+    TP-sharded state, and resume into the sharded template."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from theia_tpu.config import load_config
+    from theia_tpu.data.synthetic import generate_synthetic_dataset
+    from theia_tpu.train.loop import train_from_config
+
+    name = "facebook/deit-small-patch16-224"
+    orig = jvit.BACKBONE_CONFIGS[name]
+    jvit.BACKBONE_CONFIGS[name] = dataclasses.replace(orig, num_layers=2)
+    try:
+        generate_synthetic_dataset(
+            str(tmp_path),
+            feature_models={"facebook/dinov2-large": (1024, 16, 16)},
+            n_train=16, n_val=8, samples_per_shard=8,
+        )
+
+        def cfg(epochs):
+            return load_config(
+                "train_rvfm_imagenet",
+                overrides=[
+                    "model/backbone=deit", "training/target_models=dinov2",
+                    f"dataset.dataset_root={tmp_path}", "dataset.dataset_ratio=1.0",
+                    "dataset.shuffle_buffer_size=8", f"training.epochs={epochs}",
+                    "training.batch_size=1", "training.compute_dtype=float32",
+                    "training.model_axis=2",
+                    f"logging.model_path={tmp_path}/ckpt",
+                    f"logging.log_path={tmp_path}/logs",
+                    "logging.save_ckpt_interval=0",
+                ],
+            )
+
+        summary = train_from_config(cfg(1), max_steps=1)
+        assert summary["step"] == 1
+        summary2 = train_from_config(cfg(2), max_steps=1)
+        assert summary2["step"] == 3  # restored 1 + 2 epochs x 1 step
+    finally:
+        jvit.BACKBONE_CONFIGS[name] = orig
