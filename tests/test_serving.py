@@ -1,0 +1,71 @@
+"""Serving predictor: bucketed static shapes + pipelined streaming."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from theia_tpu.models import vit as jvit
+from theia_tpu.models.rvfm import Theia
+from theia_tpu.serving import Predictor
+
+TARGETS = {"facebook/dinov2-large": (1024, 16, 16)}
+
+
+@pytest.fixture()
+def model_and_params():
+    name = "facebook/deit-tiny-patch16-224"
+    orig = jvit.BACKBONE_CONFIGS[name]
+    jvit.BACKBONE_CONFIGS[name] = dataclasses.replace(orig, num_layers=2)
+    try:
+        model = Theia(backbone=name, translator="lconv", target_feature_sizes=TARGETS)
+        x = jnp.zeros((1, 224, 224, 3), jnp.uint8)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        yield model, params
+    finally:
+        jvit.BACKBONE_CONFIGS[name] = orig
+
+
+def _images(n, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (n, 224, 224, 3), np.uint8)
+
+
+def test_bucketed_matches_direct(model_and_params):
+    model, params = model_and_params
+    pred = Predictor(model, params, buckets=(2, 4))
+    direct = jax.jit(lambda p, x: model.apply({"params": p}, x, method=model.forward_feature))
+    for n in (1, 2, 3, 4):  # under, exact, between, top bucket
+        imgs = _images(n, seed=n)
+        got = pred(imgs)
+        want = np.asarray(direct(params, jnp.asarray(imgs)))
+        assert got.shape[0] == n
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_oversized_batch_chunks(model_and_params):
+    model, params = model_and_params
+    pred = Predictor(model, params, buckets=(2, 4))
+    imgs = _images(9)  # 4 + 4 + 1(padded to 2)
+    got = pred(imgs)
+    direct = jax.jit(lambda p, x: model.apply({"params": p}, x, method=model.forward_feature))
+    np.testing.assert_allclose(got, np.asarray(direct(params, jnp.asarray(imgs))), atol=1e-5)
+
+
+def test_predict_dict_method(model_and_params):
+    model, params = model_and_params
+    pred = Predictor(model, params, buckets=(2,), method="predict")
+    out = pred(_images(1))
+    assert set(out) == set(TARGETS)
+    assert out["facebook/dinov2-large"].shape[0] == 1
+
+
+def test_stream_order_and_values(model_and_params):
+    model, params = model_and_params
+    pred = Predictor(model, params, buckets=(2, 4))
+    batches = [_images(n, seed=10 + n) for n in (1, 4, 3)]
+    streamed = list(pred.predict_stream(iter(batches)))
+    assert [s.shape[0] for s in streamed] == [1, 4, 3]
+    for imgs, got in zip(batches, streamed):
+        np.testing.assert_allclose(got, pred(imgs), atol=1e-5)
