@@ -21,7 +21,9 @@ def test_decode_dinov2_shapes_and_range():
     feats = np.random.RandomState(0).randn(2, 256, 64).astype(np.float32)
     rgb, pca = decode_dinov2(feats)
     assert rgb.shape == (2, 224, 224, 3)
-    assert 0.0 <= rgb.min() and rgb.max() <= 1.0
+    # tiny eps: sklearn minmax_scale under multithreaded BLAS can land a
+    # hair outside [0,1] in float32
+    assert -1e-5 <= rgb.min() and rgb.max() <= 1.0 + 1e-5
     # reusing the pca keeps visualizations consistent
     rgb2, _ = decode_dinov2(feats, pca=pca)
     np.testing.assert_allclose(rgb, rgb2, atol=1e-5)

@@ -20,7 +20,9 @@ from theia_tpu.train.optim import constant_with_warmup, make_optimizer
 from theia_tpu.train.state import TrainState
 from theia_tpu.train.step import make_train_step
 
-TARGETS = {"facebook/dinov2-large": (1024, 16, 16), "facebook/sam-vit-huge": (256, 64, 64)}
+# dinov2 head only: TP shards the BACKBONE, and the SAM 64x64 ladder would
+# triple the CPU compile time of these tests without touching the TP surface
+TARGETS = {"facebook/dinov2-large": (1024, 16, 16)}
 
 
 @pytest.fixture()

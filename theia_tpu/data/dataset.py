@@ -472,8 +472,13 @@ class _BatchedLoader:
         return self._active
 
     def __del__(self) -> None:  # pragma: no cover - GC timing
-        if getattr(self, "_active", None) is not None:
-            self._active.close()
+        try:
+            if getattr(self, "_active", None) is not None:
+                self._active.close()
+        except BaseException:
+            # __del__ may run during interpreter teardown where threading/
+            # queue internals are already gone; cleanup is best-effort here
+            pass
 
 
 def get_frame_dataloader(

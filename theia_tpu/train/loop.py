@@ -313,11 +313,11 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             shuffle=cfg.dataset.shuffle,
             shuffle_buffer_size=cfg.dataset.shuffle_buffer_size,
             seed=cfg.seed + process_index * 100 + ep,
-            # dataset.num_workers wins; absent that, honor the reference's
-            # training.num_workers knob (configs/training/frame_level.yaml:10)
-            num_workers=int(
-                cfg.dataset.get("num_workers", cfg.training.get("num_workers", 0)) or 0
-            ),
+            # dataset.num_workers is the operative knob (0 = in-process
+            # decode). training.num_workers exists for reference schema
+            # parity only — silently inheriting its default of 8 spawned
+            # worker fleets on single-core hosts, so it is NOT a fallback.
+            num_workers=int(cfg.dataset.get("num_workers", 0) or 0),
         )
         train_iter = iter(loader)
         # per-step metrics are accumulated ON DEVICE (scalar adds) and read
