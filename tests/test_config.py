@@ -45,6 +45,25 @@ def test_group_swap_and_value_overrides():
     assert cfg.dataset.dataset_ratio == 1.0
 
 
+def test_training_num_workers_aliased_with_core_cap():
+    """training.num_workers (reference schema) must alias to the loader
+    worker count, capped at cpu_count-1, when dataset.num_workers is unset."""
+    import os as _os
+
+    from theia_tpu.train.loop import resolve_num_workers
+
+    cfg = load_config("train_rvfm_imagenet")
+    assert cfg.training.num_workers == 8  # reference frame_level.yaml parity
+    # in-repo dataset configs pin the knob explicitly: it wins verbatim
+    assert "num_workers" in cfg.dataset
+    assert resolve_num_workers(cfg) == cfg.dataset.num_workers
+    # a ported REFERENCE config has no dataset.num_workers — the training
+    # key must alias (capped at cpu_count-1), not be silently ignored
+    del cfg.dataset["num_workers"]
+    cap = max(0, (_os.cpu_count() or 1) - 1)
+    assert resolve_num_workers(cfg) == min(8, cap)
+
+
 def test_all_teacher_set_configs_load():
     for name in ["cdds", "cddsv", "cddv", "cdesv", "cdis", "cdisv", "cdiv",
                  "clip", "ddsv", "depth_anything", "dinov2", "sam", "vit"]:

@@ -316,3 +316,28 @@ def test_batched_loader_closes_abandoned_pass():
             break
         time.sleep(0.05)
     assert state["closed"] == 2
+
+
+def test_closed_prefetch_iter_raises_not_hangs():
+    """__next__ on an iterator whose pass was closed (e.g. a stale handle
+    held across an epoch boundary) must terminate, not block forever on a
+    queue that will never receive its sentinel."""
+    import numpy as np
+    import pytest
+
+    from theia_tpu.data.dataset import _BatchedLoader
+
+    def source():
+        for i in range(1000):
+            yield {"image": np.full((2, 2), i, np.uint8)}
+
+    class Src:
+        def __iter__(self):
+            return source()
+
+    loader = _BatchedLoader(Src(), batch_size=4, drop_last=True, prefetch=2)
+    it = iter(loader)
+    next(it)
+    iter(loader)  # closes `it`'s pass
+    with pytest.raises(StopIteration):
+        next(it)

@@ -69,3 +69,24 @@ def test_stream_order_and_values(model_and_params):
     assert [s.shape[0] for s in streamed] == [1, 4, 3]
     for imgs, got in zip(batches, streamed):
         np.testing.assert_allclose(got, pred(imgs), atol=1e-5)
+
+
+def test_stream_oversized_batch_chunks(model_and_params):
+    """Oversized stream batches must be chunked by the top bucket (static-
+    shape guarantee) and reassembled, not dispatched at their raw size."""
+    model, params = model_and_params
+    pred = Predictor(model, params, buckets=(2, 4))
+    seen: list[int] = []
+    orig = pred._fn
+
+    def spy(p, x):
+        seen.append(x.shape[0])
+        return orig(p, x)
+
+    pred._fn = spy
+    batches = [_images(9, seed=1), _images(2, seed=2)]
+    streamed = list(pred.predict_stream(iter(batches)))
+    assert [s.shape[0] for s in streamed] == [9, 2]
+    assert set(seen) <= {2, 4}, f"non-bucket shapes dispatched: {seen}"
+    for imgs, got in zip(batches, streamed):
+        np.testing.assert_allclose(got, pred(imgs), atol=1e-5)

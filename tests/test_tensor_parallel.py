@@ -116,6 +116,27 @@ def test_validate_tp_rejects_indivisible():
         validate_tp(3, 768, 2)
 
 
+def test_state_shardings_plain_optax(small_backbone):
+    """train_state_shardings must handle a PLAIN optax tx (chained plain
+    tuples of NamedTuple states), not only the in-repo MaskedAdamW."""
+    import optax
+
+    model = Theia(backbone=small_backbone, translator="lconv", target_feature_sizes=TARGETS)
+    x = jnp.zeros((1, 224, 224, 3), jnp.uint8)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.adamw(1e-3, weight_decay=0.01)
+    mesh = make_mesh(n_model=2)
+    specs = backbone_tp_specs(params)
+    sh = train_state_shardings(mesh, tx, params, specs)
+    # structure must mirror tx.init(params): same treedef, shardings as leaves
+    opt_shapes = jax.eval_shape(tx.init, params)
+    a = jax.tree_util.tree_structure(sh.opt_state)
+    b = jax.tree_util.tree_structure(opt_shapes)
+    assert a == b
+    mu_qk = sh.opt_state[0].mu["backbone_module"]["block_0"]["query"]["kernel"]
+    assert "model" in tuple(mu_qk.spec)
+
+
 def test_tp_train_from_config_and_resume(tmp_path):
     """model_axis=2 through the full config path: train, orbax-save the
     TP-sharded state, and resume into the sharded template."""

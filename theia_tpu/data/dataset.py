@@ -376,6 +376,7 @@ class _PrefetchIter:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._stop = threading.Event()
+        self._closed = False
         self._err: list[BaseException] = []
         self._t = threading.Thread(target=self._produce, daemon=True)
         self._t.start()
@@ -413,6 +414,7 @@ class _PrefetchIter:
                     continue
 
     def close(self) -> None:
+        self._closed = True
         self._stop.set()
         # drain so a producer blocked on a full queue can observe the stop
         try:
@@ -426,6 +428,11 @@ class _PrefetchIter:
         return self
 
     def __next__(self) -> Any:
+        # after close() the drained queue never receives a sentinel (the
+        # producer skips delivery once _stop is set) — a blocking get would
+        # hang forever; stale iterators must terminate instead
+        if getattr(self, "_closed", False):
+            raise StopIteration
         item = self._q.get()
         if item is self._sentinel:
             if self._err:

@@ -93,7 +93,12 @@ def train_state_shardings(
         if hasattr(node, "mu") and hasattr(node, "nu"):  # optax ScaleByAdamState
             return type(node)(count=repl, mu=map_specs(node.mu), nu=map_specs(node.nu))
         if isinstance(node, tuple):
-            return type(node)(*(rec(c) for c in node))
+            children = [rec(c) for c in node]
+            # NamedTuples (optax states, chained tx tuples of states)
+            # rebuild positionally; a PLAIN tuple ctor takes one iterable
+            if type(node) is tuple:
+                return tuple(children)
+            return type(node)(*children)
         return repl  # scalar bookkeeping / empty states
 
     opt_shapes = jax.eval_shape(tx.init, params)

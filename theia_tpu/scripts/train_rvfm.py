@@ -19,6 +19,15 @@ from theia_tpu.train.loop import train_from_config
 
 def main(argv: list[str] | None = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("-h", "--help"):
+        print(
+            "usage: theia-train [CONFIG_NAME] [group/name=value|dotted.key=value ...]\n"
+            "  CONFIG_NAME   root config under theia_tpu/configs/ "
+            "(default: train_rvfm_imagenet)\n"
+            "  overrides     hydra-style, e.g. model/backbone=deit_reg "
+            "training.batch_size=32"
+        )
+        return
     config_name = "train_rvfm_imagenet"
     if argv and "=" not in argv[0]:
         config_name = argv.pop(0)

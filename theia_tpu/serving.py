@@ -88,21 +88,29 @@ class Predictor:
         top = self._buckets[-1]
         chunks = [images[i : i + top] for i in range(0, images.shape[0], top)] or [images]
         # dispatch all chunks first (async), then read back
-        pending = [self._dispatch(c) for c in chunks]
-        outs = [self._readback(r, n) for r, n in pending]
-        if len(outs) == 1:
-            return outs[0]
-        return jax.tree.map(lambda *ys: np.concatenate(ys), *outs)
+        return self._readback_group([self._dispatch(c) for c in chunks])
 
     def predict_stream(self, batches: Iterable[np.ndarray]) -> Iterator[Any]:
         """Pipelined prediction over a stream of batches, order-preserving:
         the next batch is dispatched before the previous result is read
         back, so host-side readback/prep overlaps device compute."""
+        top = self._buckets[-1]
         prev = None
         for images in batches:
-            cur = self._dispatch(np.asarray(images))
+            images = np.asarray(images)
+            # chunk oversize batches by the largest bucket so the static-shape
+            # guarantee ("at most len(buckets) programs") holds here too;
+            # chunks of one logical batch are reassembled on readback
+            chunks = [images[i : i + top] for i in range(0, images.shape[0], top)] or [images]
+            cur = [self._dispatch(c) for c in chunks]
             if prev is not None:
-                yield self._readback(*prev)
+                yield self._readback_group(prev)
             prev = cur
         if prev is not None:
-            yield self._readback(*prev)
+            yield self._readback_group(prev)
+
+    def _readback_group(self, pending: list) -> Any:
+        outs = [self._readback(r, n) for r, n in pending]
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree.map(lambda *ys: np.concatenate(ys), *outs)

@@ -57,6 +57,29 @@ def select_target_models(cfg: DotDict) -> tuple[list[str], list[str], dict[str, 
     return names, names_wocls, sizes
 
 
+def resolve_num_workers(cfg: DotDict) -> int:
+    """Loader-worker count: ``dataset.num_workers`` is the operative knob
+    (0 = in-process decode). A reference config ported verbatim carries
+    ``training.num_workers`` instead (reference data_utils.py:531-556) —
+    honor it as an alias so such configs don't silently fall back to
+    single-core decode, but cap it at cpu_count-1: spawning the reference
+    default of 8 worker processes on a 1-core host measurably LOSES to
+    in-process decode (PERFORMANCE.md, input-pipeline table)."""
+    if "num_workers" in cfg.dataset:
+        return int(cfg.dataset.get("num_workers", 0) or 0)
+    legacy = int(cfg.training.get("num_workers", 0) or 0)
+    if legacy <= 0:
+        return 0
+    cap = max(0, (os.cpu_count() or 1) - 1)
+    n = min(legacy, cap)
+    print(
+        f"[theia_tpu] training.num_workers={legacy} aliased to loader "
+        f"num_workers={n} (capped at cpu_count-1={cap}; set "
+        f"dataset.num_workers explicitly to override)"
+    )
+    return n
+
+
 def build_run_identifier(cfg: DotDict) -> str:
     """rvfm_dp<ratio>_<backbone>_<translator>[_pretrained]_<notes>
     (reference train_rvfm.py:336-341)."""
@@ -135,8 +158,15 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         from theia_tpu.parallel.tp import validate_tp
 
         bb_cfg = BACKBONE_CONFIGS.get(model.backbone)
-        if bb_cfg is not None:
-            validate_tp(bb_cfg.num_heads, bb_cfg.intermediate_size, n_model)
+        if bb_cfg is None:
+            # an unknown backbone with model_axis>1 would otherwise surface
+            # as an opaque GSPMD sharding error deep inside jit
+            raise ValueError(
+                f"model_axis={n_model} requires a known backbone config to "
+                f"validate divisibility, but {model.backbone!r} is not in "
+                f"BACKBONE_CONFIGS ({sorted(BACKBONE_CONFIGS)})"
+            )
+        validate_tp(bb_cfg.num_heads, bb_cfg.intermediate_size, n_model)
 
     feature_norm = cfg.dataset.feature_norm
     target_stats = None
@@ -297,6 +327,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     else:
         place_batch = lambda tree: shard_batch(mesh, tree)  # noqa: E731
 
+    num_workers = resolve_num_workers(cfg)
     random_targets = int(cfg.training.get("random_target_models", -1))
     log_interval = int(cfg.logging.get("log_interval", 50))
     save_interval = int(cfg.logging.get("save_ckpt_interval", 20000))
@@ -313,11 +344,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             shuffle=cfg.dataset.shuffle,
             shuffle_buffer_size=cfg.dataset.shuffle_buffer_size,
             seed=cfg.seed + process_index * 100 + ep,
-            # dataset.num_workers is the operative knob (0 = in-process
-            # decode). training.num_workers exists for reference schema
-            # parity only — silently inheriting its default of 8 spawned
-            # worker fleets on single-core hosts, so it is NOT a fallback.
-            num_workers=int(cfg.dataset.get("num_workers", 0) or 0),
+            num_workers=num_workers,
         )
         train_iter = iter(loader)
         # per-step metrics are accumulated ON DEVICE (scalar adds) and read
