@@ -1,10 +1,14 @@
-"""Parity vs STORED reference-produced tensors (tests/fixtures/).
+"""Parity vs STORED reference-produced tensors (tests/fixtures/), over the
+shipped configuration MATRIX.
 
 Round-1 golden tests compared against freshly-instantiated random HF
 modules; these assert against tensors produced by RUNNING the actual
 reference RobotVisionFM code (/root/reference via tests/reference_loader.py)
 and committed to the repo — the full forward_feature + forward + get_loss
-chain for the cddsv teacher set (reference check_feature.py:88-154 spirit).
+chain (reference check_feature.py:88-154 spirit) for: tiny/base backbones,
+cls/nocls/reg variants, lconv/mlp/conv translators, and distill_cls heads.
+(The reference transformer translator crashes at runtime — documented
+divergence, no reference-run fixture can exist; see golden_reference.py.)
 
 Real published weights need hub access (zero-egress image, no HF cache);
 test_published_weights_if_available documents that gate explicitly.
@@ -21,80 +25,106 @@ sys.path.insert(0, str(Path(__file__).parent))
 import jax.numpy as jnp
 
 from golden_reference import (
-    BACKBONE,
-    CDDSV_SIZES,
-    FIXTURE,
+    CONFIGS,
+    backbone_variant,
     build_reference_rvfm,
+    fixture_path,
     golden_inputs,
     run_reference,
 )
 
+NAMES = list(CONFIGS)
 
-@pytest.fixture(scope="module")
-def stored():
-    assert FIXTURE.exists(), "run tests/golden_reference.py to regenerate"
-    with np.load(FIXTURE) as z:
+
+def load_stored(name: str) -> dict[str, np.ndarray]:
+    path = fixture_path(name)
+    assert path.exists(), f"run tests/golden_reference.py {name} to regenerate"
+    with np.load(path) as z:
         return {k.replace("|", "/"): z[k] for k in z.files}
 
 
 @pytest.fixture(scope="module")
-def reference_model():
-    return build_reference_rvfm()
+def reference_models():
+    cache: dict[str, object] = {}
+
+    def get(name: str):
+        if name not in cache:
+            cache[name] = build_reference_rvfm(name)
+        return cache[name]
+
+    return get
 
 
-def test_reference_regeneration_matches_stored(stored, reference_model):
+@pytest.mark.parametrize("name", NAMES)
+def test_reference_regeneration_matches_stored(name, reference_models):
     """Guard: rebuilding the reference model from the fixed seed must
     reproduce the stored fixture bit-for-bit (catches torch/transformers
     RNG or numerics drift before any parity claim is made)."""
-    fresh = run_reference(reference_model)
+    stored = load_stored(name)
+    fresh = run_reference(reference_models(name), name=name)
     assert set(fresh) == set(stored)
     for k, v in fresh.items():
-        np.testing.assert_allclose(v, stored[k], rtol=1e-6, atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(v, stored[k], rtol=1e-6, atol=1e-6, err_msg=f"{name}:{k}")
 
 
-def test_our_theia_matches_stored_reference_chain(stored, reference_model):
+@pytest.mark.parametrize("name", NAMES)
+def test_our_theia_matches_stored_reference_chain(name, reference_models):
     """Converted reference weights through OUR Theia: forward_feature,
     per-teacher forward features, and all loss terms vs the stored
-    reference-produced tensors (<1e-3 MSE BASELINE target; measured ~1e-9)."""
-    import jax
-
+    reference-produced tensors (<1e-3 MSE BASELINE target; measured ~1e-9
+    for f32 fixtures, bounded by fp16 storage (~1e-7) for matrix ones)."""
     from theia_tpu.models.hf_convert import convert_theia_checkpoint, state_dict_to_numpy
     from theia_tpu.models.losses import get_loss
     from theia_tpu.models.rvfm import Theia
 
+    cfg = CONFIGS[name]
+    stored = load_stored(name)
+    reference_model = reference_models(name)
+    variant = backbone_variant(cfg.backbone)
+
     sd = state_dict_to_numpy(reference_model.state_dict())
     params = convert_theia_checkpoint(
-        sd, num_layers=12, translator_type="lconv", target_feature_sizes=CDDSV_SIZES
+        sd,
+        num_layers=12,
+        translator_type=cfg.translator,
+        target_feature_sizes=cfg.sizes,
+        variant=variant,
     )
-    theia = Theia(backbone=BACKBONE, translator="lconv", target_feature_sizes=CDDSV_SIZES)
+    theia = Theia(
+        backbone=cfg.backbone,
+        translator=cfg.translator,
+        target_feature_sizes=dict(cfg.sizes),
+        num_reg_tokens=cfg.num_reg_tokens,
+    )
 
-    images, targets = golden_inputs()
+    images, targets = golden_inputs(name)
     x = jnp.asarray(images)
 
     feat = theia.apply({"params": params}, x, method=theia.forward_feature)
-    mse = float(np.mean((np.asarray(feat) - stored["forward_feature"]) ** 2))
-    assert mse < 1e-3, mse
+    mse = float(np.mean((np.asarray(feat, np.float32) - stored["forward_feature"].astype(np.float32)) ** 2))
+    assert mse < 1e-3, (name, mse)
 
     preds = theia.apply({"params": params}, x)
-    for t in CDDSV_SIZES:
-        want = stored[f"pred::{t}"]
-        got = np.asarray(preds[t])
-        assert got.shape == want.shape
+    for t in cfg.sizes:
+        want = stored[f"pred::{t}"].astype(np.float32)
+        got = np.asarray(preds[t], np.float32)
+        assert got.shape == want.shape, (name, t, got.shape, want.shape)
         mse = float(np.mean((got - want) ** 2))
-        assert mse < 1e-3, (t, mse)
+        assert mse < 1e-3, (name, t, mse)
 
     losses = get_loss(preds, {k: jnp.asarray(v) for k, v in targets.items()}, None)
     for term in ("mse_loss", "cos_loss", "l1_loss"):
         np.testing.assert_allclose(
-            float(losses[term]), float(stored[f"loss::{term}"]), rtol=2e-4, err_msg=term
+            float(losses[term]), float(stored[f"loss::{term}"]), rtol=2e-4,
+            err_msg=f"{name}:{term}",
         )
     for term in ("mse_losses_per_model", "cos_losses_per_model", "l1_losses_per_model"):
-        for t in CDDSV_SIZES:
+        for t in cfg.sizes:
             np.testing.assert_allclose(
                 float(losses[term][t]),
                 float(stored[f"loss::{term}::{t}"]),
                 rtol=2e-4,
-                err_msg=f"{term}::{t}",
+                err_msg=f"{name}:{term}::{t}",
             )
 
 
