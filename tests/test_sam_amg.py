@@ -7,15 +7,21 @@ per-point-batch flow (decode -> two-stage upscale -> filter_masks) is
 compared end-to-end against HF's torch implementation with the same
 injected embeddings and converted decoder weights.
 
-Note: torchvision is not installed in this image, so HF's own final NMS
-(_postprocess_for_mg -> torchvision.ops.batched_nms) cannot run here; our
-box_nms is tested against a scratch greedy reference with torch-matching
-tie order.
+torchvision is not installed in this image; tests/torchvision_nms.py
+vendors batched_nms with torchvision semantics so HF's own final NMS
+(_postprocess_for_mg) — and through it the COMPOSED pipeline — runs as the
+oracle (test_composed_pipeline_matches_hf); our box_nms is additionally
+tested against a scratch greedy reference with torch-matching tie order.
 """
+
+import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
 import torch
+
+sys.path.insert(0, str(Path(__file__).parent))
 
 from theia_tpu.decoding import amg
 
@@ -115,6 +121,27 @@ def test_box_nms_greedy_semantics():
     assert got == greedy(boxes, scores, 0.5)
 
 
+def test_box_nms_matches_vendored_torchvision():
+    """box_nms vs the vendored torchvision-semantics batched_nms (distinct
+    scores, so the single torchvision-unspecified behavior — tie order —
+    never engages)."""
+    from torchvision_nms import batched_nms
+
+    rng = np.random.RandomState(7)
+    boxes = rng.rand(60, 2) * 150
+    boxes = np.concatenate([boxes, boxes + 5 + rng.rand(60, 2) * 80], axis=1)
+    scores = rng.rand(60).astype(np.float32)
+    assert len(np.unique(scores)) == 60
+    for thresh in (0.3, 0.5, 0.7, 0.9):
+        want = batched_nms(
+            torch.from_numpy(boxes).float(),
+            torch.from_numpy(scores),
+            torch.zeros(len(boxes)),
+            thresh,
+        ).tolist()
+        assert amg.box_nms(boxes, scores, thresh).tolist() == want
+
+
 @pytest.fixture(scope="module")
 def tiny_sam():
     """Random-init HF SamModel with a shrunken (unused) vision tower; the
@@ -195,6 +222,87 @@ def test_filter_flow_matches_hf_pipeline(tiny_sam):
         inter = (a & b).sum()
         union = (a | b).sum()
         assert union == 0 or inter / union > 0.995, (inter, union)
+
+
+def test_composed_pipeline_matches_hf(tiny_sam):
+    """The COMPOSED mask-generation pipeline — every point batch decoded,
+    filtered, aggregated, and cross-batch NMS'd — vs HF's own whole flow
+    (the reference runs this pipeline end-to-end,
+    reference src/theia/decoding/sam.py:15-106): preprocess ->
+    per-point-batch [SamModel + post_process_masks + filter_masks] ->
+    _postprocess_for_mg, with the vendored torchvision-semantics NMS
+    standing in for the absent torchvision."""
+    import jax.numpy as jnp
+    from transformers import SamImageProcessor
+    from transformers.models.sam import image_processing_sam as hf_mod
+
+    from theia_tpu.decoding.sam import MaskGenerator
+    from theia_tpu.foundation.sam_decoder import SAM_DECODER, SamMaskDecoder, convert_sam_decoder
+    from torchvision_nms import batched_nms
+
+    proc = SamImageProcessor()
+    rng = np.random.RandomState(5)
+    emb = rng.randn(1, 256, 64, 64).astype(np.float32)
+    image = np.zeros((224, 224, 3), np.uint8)
+    pps, ppb, nms_thresh = 6, 12, 0.7
+
+    # ---- HF side: the full pipeline flow on injected embeddings ----
+    crop_boxes, grid_points, _, input_labels = hf_sam._generate_crop_boxes(
+        image, target_size=1024, crop_n_layers=0, points_per_crop=pps
+    )
+    pts_all = torch.tensor(grid_points, dtype=torch.float32)
+    lbl_all = torch.tensor(input_labels, dtype=torch.long)
+    rles_hf, scores_hf, boxes_hf = [], [], []
+    with torch.no_grad():
+        for i in range(0, pts_all.shape[1], ppb):
+            out = tiny_sam(
+                image_embeddings=torch.from_numpy(emb),
+                input_points=pts_all[:, i : i + ppb],
+                input_labels=lbl_all[:, i : i + ppb],
+            )
+            masks = proc.post_process_masks(
+                out.pred_masks, [(224, 224)], [(1024, 1024)], binarize=False
+            )
+            r, s, b = proc.filter_masks(
+                masks[0], out.iou_scores[0], (224, 224), crop_boxes[0],
+                pred_iou_thresh=0.0, stability_score_thresh=0.0,
+            )
+            rles_hf.extend(r)
+            scores_hf.append(s)
+            boxes_hf.append(b)
+    orig_patched = getattr(hf_mod, "batched_nms", None)
+    hf_mod.batched_nms = batched_nms
+    try:
+        masks_hf, iou_hf, rle_hf, box_hf = hf_mod._postprocess_for_mg(
+            rles_hf, torch.cat(scores_hf), torch.cat(boxes_hf), nms_thresh
+        )
+    finally:
+        if orig_patched is None:
+            del hf_mod.batched_nms
+        else:
+            hf_mod.batched_nms = orig_patched
+
+    # ---- ours: the native composed generator, same weights/points ----
+    sd = {k: v.detach().numpy() for k, v in tiny_sam.state_dict().items()}
+    params = convert_sam_decoder(sd)
+    gen = MaskGenerator(
+        SamMaskDecoder(SAM_DECODER), params,
+        points_per_side=pps, points_per_batch=ppb, crops_nms_thresh=nms_thresh,
+    )
+    ours = gen(
+        jnp.asarray(emb), output_size=(224, 224),
+        pred_iou_thresh=0.0, stability_score_thresh=0.0,
+        output_rle_mask=True, output_bboxes_mask=True,
+    )
+
+    assert len(ours["masks"]) == len(masks_hf) > 0
+    np.testing.assert_allclose(ours["scores"], iou_hf.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(ours["bounding_boxes"], box_hf.numpy())
+    for a, b_hf in zip(ours["masks"], masks_hf):
+        a = a.astype(bool)
+        b_hf = np.asarray(b_hf).astype(bool)
+        union = (a | b_hf).sum()
+        assert union == 0 or (a & b_hf).sum() / union > 0.995
 
 
 def test_mask_generator_crop_layers_and_rle_output(tiny_sam):
