@@ -23,13 +23,26 @@ import time
 import numpy as np
 
 
-def _timed_chain(run_n, n_long: int = 30) -> float:
+def _timed_chain(run_n, n_long: int = 30, repeats: int = 3) -> list[float]:
     """Per-step seconds via (t_long - t_short)/(n_long - 1); run_n(n) must
-    execute n chained steps and end with a forced scalar readback."""
+    execute n chained steps and end with a forced scalar readback.
+
+    Returns ``repeats`` independent measurements: the relay-attached chip's
+    absolute timings drift across sessions (PERFORMANCE.md measurement
+    discipline), so BENCH json reports median + min + all repeats — a
+    cross-round regression is then detectable against the spread, not a
+    single-shot value."""
     run_n(2)  # warm
-    t1 = run_n(1)
-    tn = run_n(n_long)
-    return max((tn - t1) / (n_long - 1), 1e-9)
+    vals = []
+    for _ in range(repeats):
+        t1 = run_n(1)
+        tn = run_n(n_long)
+        vals.append(max((tn - t1) / (n_long - 1), 1e-9))
+    return vals
+
+
+def _median(vals: list[float]) -> float:
+    return float(np.median(vals))
 
 
 def _bench_distill(backbone: str, batch_size: int):
@@ -70,8 +83,8 @@ def _bench_distill(backbone: str, batch_size: int):
         float(metrics["loss"])  # forced readback syncs the chain
         return time.perf_counter() - t0
 
-    dt = _timed_chain(run_n)
-    return batch_size / dt, dt
+    dts = _timed_chain(run_n)
+    return dts
 
 
 def _bench_forward_feature(backbone: str, batch_size: int = 1):
@@ -102,24 +115,32 @@ def _bench_forward_feature(backbone: str, batch_size: int = 1):
         float(out.sum())
         return time.perf_counter() - t0
 
-    return _timed_chain(run_n, n_long=50) * 1000  # ms
+    return [v * 1000 for v in _timed_chain(run_n, n_long=50)]  # ms
 
 
 def main() -> None:
-    tiny_ips, tiny_dt = _bench_distill("facebook/deit-tiny-patch16-224", batch_size=256)
-    base_ips, base_dt = _bench_distill("facebook/deit-base-patch16-224", batch_size=64)
-    ff_p50 = _bench_forward_feature("facebook/deit-base-patch16-224")
+    tiny_dts = _bench_distill("facebook/deit-tiny-patch16-224", batch_size=256)
+    base_dts = _bench_distill("facebook/deit-base-patch16-224", batch_size=64)
+    ff_ms = _bench_forward_feature("facebook/deit-base-patch16-224")
 
+    tiny_dt, base_dt = _median(tiny_dts), _median(base_dts)
+    tiny_ips, base_ips = 256 / tiny_dt, 64 / base_dt
     result = {
         "metric": "images/sec/chip theia-tiny cddsv distill step (bf16)",
         "value": round(tiny_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(tiny_ips / 5000.0, 3),
         "extra": {
+            "repeats": len(tiny_dts),
             "theia_tiny_step_ms_b256": round(tiny_dt * 1000, 2),
+            "theia_tiny_step_ms_min": round(min(tiny_dts) * 1000, 2),
+            "theia_tiny_step_ms_all": [round(v * 1000, 2) for v in tiny_dts],
             "theia_base_images_per_sec": round(base_ips, 1),
             "theia_base_step_ms_b64": round(base_dt * 1000, 2),
-            "forward_feature_base_p50_ms": round(ff_p50, 3),
+            "theia_base_step_ms_min": round(min(base_dts) * 1000, 2),
+            "theia_base_step_ms_all": [round(v * 1000, 2) for v in base_dts],
+            "forward_feature_base_p50_ms": round(_median(ff_ms), 3),
+            "forward_feature_base_ms_all": [round(v, 3) for v in ff_ms],
         },
     }
     print(json.dumps(result))

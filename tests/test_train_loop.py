@@ -63,10 +63,12 @@ def test_smoke_train_and_resume(tmp_path, tiny_backbone):
     logs = list((tmp_path / "logs").glob("*.metrics.jsonl"))
     assert logs
 
-    # resume: second run restores step and continues
+    # resume: second run restores step 2, fast-forwards past the completed
+    # epoch 0, and trains only epoch 1 — converging to the 2-epoch
+    # schedule's total (preemption-safe resume semantics)
     cfg2 = _cfg(tmp_path, epochs=2)
     summary2 = train_from_config(cfg2, max_steps=2)
-    assert summary2["step"] == 6  # restored 2 + 2 epochs x 2 steps
+    assert summary2["step"] == 4
 
 
 def test_smoke_train_distill_cls_and_random_targets(tmp_path, tiny_backbone):

@@ -26,7 +26,7 @@ from theia_tpu.foundation.common import MODEL_FEATURE_SIZES, get_model_feature_s
 from theia_tpu.models.rvfm import Theia
 from theia_tpu.parallel.distributed import make_global_batch
 from theia_tpu.parallel.mesh import make_mesh, replicated, shard_batch
-from theia_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from theia_tpu.train.checkpoint import CheckpointSession, restore_checkpoint
 from theia_tpu.train.optim import (
     constant_with_warmup,
     cosine_restarts_with_warmup,
@@ -265,9 +265,9 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     state_shardings = None
     params_sharding = None
     if n_model > 1:
-        from theia_tpu.parallel.tp import backbone_tp_specs, train_state_shardings
+        from theia_tpu.parallel.tp import tp_specs, train_state_shardings
 
-        specs = backbone_tp_specs(state.params)
+        specs = tp_specs(state.params, n_model)
         state_shardings = train_state_shardings(mesh, tx, state.params, specs)
         params_sharding = state_shardings.params
         state = jax.tree.map(jax.device_put, state, state_shardings)
@@ -334,8 +334,22 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
     rng = random.Random(cfg.seed)
 
     steps = int(state.step)
+    # preemption-safe auto-resume: a restored mid-epoch state fast-forwards
+    # past the work already done — completed epochs are skipped and the
+    # partial epoch runs only its remaining steps (the epoch's loader is
+    # restarted from its seeded beginning rather than replayed to the kill
+    # point; the reference has no resume at all, SURVEY.md §5)
+    start_ep = min(steps // train_epoch_steps, int(cfg.training.epochs)) if train_epoch_steps else 0
+    done_in_epoch = steps - start_ep * train_epoch_steps
+    if steps and is_main:
+        print(
+            f"[theia_tpu] resuming at step {steps} "
+            f"(epoch {start_ep}, {done_in_epoch} steps into it)"
+        )
     summary: dict[str, Any] = {}
-    for ep in range(int(cfg.training.epochs)):
+    ckpt_session = CheckpointSession(ckpt_dir)
+    for ep in range(start_ep, int(cfg.training.epochs)):
+        epoch_steps = train_epoch_steps - (done_in_epoch if ep == start_ep else 0)
         t_start = time.time()  # per-epoch, like images_seen below
         meters = create_meters(target_model_names)
         loader = get_frame_dataloader(
@@ -354,7 +368,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         window_steps = 0
         window_images = 0
         images_seen = 0
-        for _ in range(train_epoch_steps):
+        for _ in range(epoch_steps):
             try:
                 batch = next(train_iter)
             except StopIteration:
@@ -402,8 +416,10 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
                 pass  # handled branch-free inside the jitted step
 
             if save_interval > 0 and steps % save_interval == 0:
-                # orbax coordinates across hosts: every process must call save
-                save_checkpoint(ckpt_dir, state, steps)
+                # async: stages to host and returns; the write overlaps the
+                # next steps' compute. orbax coordinates across hosts —
+                # every process must call save
+                ckpt_session.save(state, steps)
 
         # ---- eval epoch (reference train_rvfm.py:159-201) ----
         # keep partial tail batches in eval (an eval set smaller than one
@@ -452,8 +468,9 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
             logger.log({k: v for k, v in flat.items() if k.startswith("avg_eval")}, steps)
             summary["eval"] = {k: v for k, v in flat.items() if "eval" in k}
 
-        save_checkpoint(ckpt_dir, state, steps)
+        ckpt_session.save(state, steps, block=True)
 
+    ckpt_session.close()
     logger.close()
     summary.update(step=steps, run=cfg.logging.run_identifier_prefix, ckpt_dir=ckpt_dir)
     return summary
