@@ -71,6 +71,55 @@ def test_stream_order_and_values(model_and_params):
         np.testing.assert_allclose(got, pred(imgs), atol=1e-5)
 
 
+def test_multichip_dp_serving(model_and_params):
+    """Data-parallel serving over the 8-device mesh: buckets rounded up to
+    the data-axis size, inputs really sharded, outputs equal single-device."""
+    from theia_tpu.parallel.mesh import make_mesh
+
+    model, params = model_and_params
+    mesh = make_mesh()  # 8 virtual CPU devices, pure DP
+    pred = Predictor(model, params, buckets=(2, 4), mesh=mesh)
+    # 2 and 4 don't divide 8 -> both round up to one 8-bucket
+    assert pred._buckets == (8,)
+
+    seen = []
+    orig = pred._fn
+    pred._fn = lambda p, x: (seen.append(x.sharding), orig(p, x))[1]
+
+    ref = Predictor(model, params, buckets=(2, 4))
+    for n in (1, 8, 11):  # pad, exact, chunked
+        imgs = _images(n, seed=20 + n)
+        got = pred(imgs)
+        assert got.shape[0] == n
+        np.testing.assert_allclose(got, ref(imgs), atol=1e-5)
+    assert all("data" in tuple(s.spec) for s in seen), seen
+
+    batches = [_images(n, seed=30 + n) for n in (3, 8, 1)]
+    streamed = list(pred.predict_stream(iter(batches)))
+    assert [s.shape[0] for s in streamed] == [3, 8, 1]
+    for imgs, got in zip(batches, streamed):
+        np.testing.assert_allclose(got, ref(imgs), atol=1e-5)
+
+
+def test_stream_depth_keeps_batches_in_flight(model_and_params):
+    """predict_stream must not read back until the pipeline is full: with
+    depth=2, the first result may only be demanded after batch 3 enters."""
+    model, params = model_and_params
+    pred = Predictor(model, params, buckets=(2,), depth=2)
+    events = []
+
+    def gen():
+        for i, n in enumerate((1, 2, 2, 1)):
+            events.append(("in", i))
+            yield _images(n, seed=40 + i)
+
+    for j, out in enumerate(pred.predict_stream(gen())):
+        events.append(("out", j))
+    # batches 0,1,2 are staged/dispatched before result 0 is read back
+    assert events.index(("out", 0)) > events.index(("in", 2))
+    assert [e for e in events if e[0] == "out"] == [("out", j) for j in range(4)]
+
+
 def test_stream_oversized_batch_chunks(model_and_params):
     """Oversized stream batches must be chunked by the top bucket (static-
     shape guarantee) and reassembled, not dispatched at their raw size."""
