@@ -255,3 +255,35 @@ def test_ln_spatial_pallas_fallback_matches_autodiff():
         L.LN_STATS_IMPL = orig
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_ln_spatial_islands_vjp_matches_autodiff():
+    """LNS_VJP="islands" (barrier-separated backward islands, the round-3
+    bandwidth fix for the 133-150 GB/s LN mega-fusions) must produce the
+    same grads as plain autodiff and as the "dots" phrasing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from theia_tpu.ops import ln_spatial as LS
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 5, 5, 7).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 7).astype(np.float32))
+    b = jnp.asarray(rng.randn(5, 5, 7).astype(np.float32))
+
+    def loss(x_, w_, b_):
+        y = LS.ln_spatial(x_, w_, b_, 1e-6, dtype=jnp.float32)
+        return jnp.sum(y * jnp.sin(jnp.arange(y.size).reshape(y.shape)))
+
+    grads = {}
+    orig = LS.LNS_VJP
+    try:
+        for mode in ("auto", "dots", "islands"):
+            LS.LNS_VJP = mode
+            grads[mode] = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    finally:
+        LS.LNS_VJP = orig
+    for mode in ("dots", "islands"):
+        for ref, got in zip(grads["auto"], grads[mode]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

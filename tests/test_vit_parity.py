@@ -130,3 +130,35 @@ def test_interpolate_pos_encoding_matches_reference_math():
         backbone.apply(variables, jnp.zeros((0,)), method=lambda m, _: m._interp_patch_pos(h0, w0))
     )
     np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+@pytest.mark.parametrize("variant,tokens", [("cls", 197), ("nocls", 196), ("reg", 204)])
+def test_token_pad_multiple_equivalence(monkeypatch, variant, tokens):
+    """TOKEN_PAD_MULTIPLE pads the sequence to a tile boundary with -inf-
+    masked keys; real-token outputs and weight grads must match the
+    unpadded forward (the pad is a pure layout lever, PERFORMANCE.md)."""
+    import jax
+
+    from theia_tpu.models import vit as jvit
+
+    cfg = ViTBackboneConfig(hidden_size=64, num_layers=2, num_heads=2, intermediate_size=128)
+    backbone = ViTBackbone(cfg, variant=variant, num_reg_tokens=7 if variant == "reg" else 0)
+    imgs = (np.random.RandomState(3).rand(2, 224, 224, 3) * 255).astype(np.uint8)
+    variables = backbone.init(jax.random.PRNGKey(0), jnp.asarray(imgs))
+
+    def loss(v):
+        out = backbone.apply(v, jnp.asarray(imgs))
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape))), out
+
+    (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(variables)
+    monkeypatch.setattr(jvit, "TOKEN_PAD_MULTIPLE", 16)
+    (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(variables)
+
+    assert out0.shape[1] == tokens and out1.shape == out0.shape
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), atol=1e-5)
+    for (p0, a0), (p1, a1) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=lambda kv: str(kv[0])),
+    ):
+        assert str(p0) == str(p1)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-4, err_msg=str(p0))

@@ -74,6 +74,18 @@ def _fused_resize_patch_matrix(
 # 97.3 ms — the transpose-back copy never materializes; default on.
 ATTN_LAYOUT = "bhqd_fused"
 
+# Masked token padding to a tile multiple: 197 tokens (1 CLS + 196 patches)
+# tile badly on TPU — the [.,197]-minor score matrix pads to 256 lanes and
+# every [197,.] sublane dim leaves partial tiles. Setting this to a multiple
+# M pads the sequence to the next multiple of M after the pos-embed add,
+# masks pad KEYS with -inf in every attention (exp(-inf)=0: real-token
+# outputs are bit-identical math), and slices pads off before the final
+# LayerNorm. Pad tokens never influence real tokens (attention is the only
+# cross-token op in a ViT) and their cotangents are zero through the slice,
+# so weight gradients are unchanged too. 0 disables. Candidates: 8 (197 ->
+# 200), 16 (-> 208), 64/128 (-> 256).
+TOKEN_PAD_MULTIPLE = 0
+
 
 @dataclasses.dataclass(frozen=True)
 class ViTBackboneConfig:
@@ -148,11 +160,16 @@ class _TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, key_mask: Optional[jax.Array] = None) -> jax.Array:
+        """key_mask: optional [1,1,1,T] additive score mask (-inf on pad
+        keys) for TOKEN_PAD_MULTIPLE sequences."""
         cfg = self.cfg
         c = cfg.hidden_size
         nh = cfg.num_heads
         hd = c // nh
+
+        def masked(scores: jax.Array) -> jax.Array:
+            return scores if key_mask is None else scores + key_mask.astype(scores.dtype)
         dense = lambda feats, name, use_bias=True: nn.Dense(
             feats,
             name=name,
@@ -197,7 +214,7 @@ class _TransformerBlock(nn.Module):
                 qkv = qkv + b_qkv.reshape(3, nh, 1, hd)[None]
             q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=self.dtype)
-            probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+            probs = jax.nn.softmax(masked(scores.astype(self.dtype)) / math.sqrt(hd), axis=-1)
             x = x + proj_out_bhqd(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
         else:
             qkv = jnp.dot(h, w_qkv)
@@ -208,13 +225,19 @@ class _TransformerBlock(nn.Module):
                 scores = jnp.einsum(
                     "bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype
                 )
-                probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+                probs = jax.nn.softmax(masked(scores.astype(self.dtype)) / math.sqrt(hd), axis=-1)
                 x = x + proj_out_bhqd(jnp.einsum("bhqk,bkhd->bhqd", probs, v))
             elif cfg.fast_math:
                 scores = jnp.einsum(
                     "bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype
                 )
-                probs = jax.nn.softmax(scores.astype(self.dtype) / math.sqrt(hd), axis=-1)
+                probs = jax.nn.softmax(masked(scores.astype(self.dtype)) / math.sqrt(hd), axis=-1)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
+                x = x + dense(c, "attention_output")(ctx)
+            elif key_mask is not None:
+                # masked exact path: f32 scores like _einsum_attention
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+                probs = jax.nn.softmax(masked(scores) / math.sqrt(hd), axis=-1).astype(self.dtype)
                 ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
                 x = x + dense(c, "attention_output")(ctx)
             else:
@@ -436,8 +459,19 @@ class ViTBackbone(nn.Module):
         else:
             raise ValueError(f"unknown variant {self.variant}")
 
+        t_real = tokens.shape[1]
+        key_mask = None
+        if TOKEN_PAD_MULTIPLE and t_real % TOKEN_PAD_MULTIPLE:
+            t_pad = -(-t_real // TOKEN_PAD_MULTIPLE) * TOKEN_PAD_MULTIPLE
+            tokens = jnp.pad(tokens, ((0, 0), (0, t_pad - t_real), (0, 0)))
+            key_mask = jnp.where(
+                jnp.arange(t_pad) < t_real, 0.0, -jnp.inf
+            ).reshape(1, 1, 1, t_pad)
+
         for block in self.blocks:
-            tokens = block(tokens)
+            tokens = block(tokens, key_mask)
+        if key_mask is not None:
+            tokens = tokens[:, :t_real]
         return self.final_layernorm(tokens)
 
 

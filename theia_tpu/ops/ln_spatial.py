@@ -16,7 +16,21 @@ with f32 accumulation (strictly more accurate than autodiff's bf16 reduce):
   s1 = g[B,N] @ w[N,1]                  s2 = (g * xhat)[B,N] @ w[N,1]
   dx = r * (g*w - (s1 + xhat*s2)/N)
 
-Toggle LNS_VJP: "dots" (custom backward) | "auto" (plain autodiff).
+Round-2 measured the dots phrasing NEUTRAL: XLA's algebraic simplifier
+rewrites dot(ones, X) back into reduces and then merges BOTH reduction
+directions (affine grads over batch, per-sample sums over H*W*C) plus the
+elementwise dx into one mega-fusion whose loop order thrashes — the round-3
+base trace shows those tuple fusions at 133-150 GB/s moving ~3x the minimal
+bytes ([64,31,31,768] affine-grad fusions: 4.1 ms vs ~0.3 ms roofline).
+
+"islands" (round 3) keeps the same math but splits the backward into two
+`optimization_barrier`-separated islands so XLA forms one clean fusion per
+reduction direction, each streaming g/x once at full bandwidth:
+
+  island A: dw, db  (reduce over the batch dim only)
+  island B: s1, s2 -> dx  (per-sample reduce, then elementwise)
+
+Toggle LNS_VJP: "islands" | "dots" | "auto" (plain autodiff).
 """
 
 from __future__ import annotations
@@ -32,7 +46,7 @@ LNS_VJP = "dots"
 def ln_spatial(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float,
                dtype=jnp.bfloat16) -> jax.Array:
     """x: [B,H,W,C]; weight/bias: [H,W,C]; per-sample stats over (H,W,C)."""
-    if LNS_VJP == "dots":
+    if LNS_VJP in ("dots", "islands"):
         return _ln_spatial_vjp(x, weight, bias, eps, dtype)
     return _ln_fwd_impl(x, weight, bias, eps, dtype)[0]
 
@@ -65,6 +79,8 @@ def _ln_vjp_fwd(x, weight, bias, eps, dtype):
 
 
 def _ln_vjp_bwd(eps, dtype, res, g):
+    if LNS_VJP == "islands":
+        return _ln_vjp_bwd_islands(eps, dtype, res, g)
     x, weight, mean, r = res
     b = x.shape[0]
     n = x.size // b
@@ -87,6 +103,32 @@ def _ln_vjp_bwd(eps, dtype, res, g):
     s2 = jnp.dot(gx2, w1, preferred_element_type=jnp.float32).reshape(b, 1, 1, 1)
 
     gw = g * weight.astype(dtype)
+    corr = ((s1 / n).astype(dtype) + xhat * (s2 / n).astype(dtype))
+    dx = (scale * (gw - corr)).astype(x.dtype)
+    return dx, dw.astype(weight.dtype), db.astype(weight.dtype)
+
+
+def _ln_vjp_bwd_islands(eps, dtype, res, g):
+    x, weight, mean, r = res
+    b = x.shape[0]
+    n = x.size // b
+    shift = mean.astype(dtype)
+    scale = r.astype(dtype)
+    g = g.astype(dtype)
+
+    # island A: affine grads — reduce over batch ONLY. The barrier clones the
+    # (x, g) reads so this island cannot multi-output-fuse with island B;
+    # XLA forms one fusion streaming x/g once with a VMEM f32 accumulator.
+    x_a, g_a = jax.lax.optimization_barrier((x, g))
+    xhat_a = (x_a.astype(dtype) - shift) * scale
+    dw = jnp.sum((g_a * xhat_a).astype(jnp.float32), axis=0)
+    db = jnp.sum(g_a.astype(jnp.float32), axis=0)
+
+    # island B: per-sample sums (reduce over H*W*C), then elementwise dx.
+    xhat = (x.astype(dtype) - shift) * scale
+    gw = g * weight.astype(dtype)
+    s1 = jnp.sum(gw.astype(jnp.float32), axis=(1, 2, 3), keepdims=True)
+    s2 = jnp.sum((gw * xhat).astype(jnp.float32), axis=(1, 2, 3), keepdims=True)
     corr = ((s1 / n).astype(dtype) + xhat * (s2 / n).astype(dtype))
     dx = (scale * (gw - corr)).astype(x.dtype)
     return dx, dw.astype(weight.dtype), db.astype(weight.dtype)
