@@ -341,3 +341,28 @@ def test_closed_prefetch_iter_raises_not_hangs():
     iter(loader)  # closes `it`'s pass
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_unbound_loader_keeps_tail_batches():
+    """A loader the caller never binds (``for b in get_frame_dataloader(...)``
+    or ``next(iter(...))``) must deliver every batch: before the owner
+    backref, the loader hit refcount 0 on the producer thread the moment
+    the batches generator finished, and its __del__'s close() drained the
+    still-unconsumed prefetch queue — silently losing the tail of the pass
+    or deadlocking a consumer already blocked in q.get()."""
+    import time
+
+    import numpy as np
+
+    from theia_tpu.data.dataset import get_frame_dataloader
+
+    src = [{"image": np.zeros(3, np.uint8)} for _ in range(8)]
+    it = iter(get_frame_dataloader(src, batch_size=2, drop_last=False, prefetch=8))
+    time.sleep(0.5)  # let the producer exhaust the source
+    assert len(list(it)) == 4
+
+    seen = 0
+    for _ in get_frame_dataloader(src, batch_size=2, drop_last=False, prefetch=8):
+        time.sleep(0.05)
+        seen += 1
+    assert seen == 4

@@ -371,8 +371,17 @@ class _PrefetchIter:
     epoch — left the producer blocked in ``q.put`` holding the source
     alive, leaking one worker set per epoch."""
 
-    def __init__(self, source: Iterator, depth: int = 4) -> None:
+    def __init__(self, source: Iterator, depth: int = 4, owner: Any = None) -> None:
         self._source = source
+        # strong backref: the owning loader must outlive this iterator. The
+        # batches generator is the only other reference to the loader, and
+        # its frame clears the moment it finishes — without this backref a
+        # loader the caller didn't bind (``for b in get_frame_dataloader(...)``)
+        # hit refcount 0 ON THE PRODUCER THREAD mid-pass, and its __del__'s
+        # close() drained still-unconsumed batches + the sentinel: the tail
+        # of the pass was silently lost, or a consumer already blocked in
+        # q.get() hung forever (observed as an intermittent CI deadlock).
+        self._owner = owner
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._stop = threading.Event()
@@ -422,7 +431,8 @@ class _PrefetchIter:
                 self._q.get_nowait()
         except queue.Empty:
             pass
-        self._t.join(timeout=5)
+        if self._t is not threading.current_thread():
+            self._t.join(timeout=5)
 
     def __iter__(self) -> "_PrefetchIter":
         return self
@@ -430,10 +440,20 @@ class _PrefetchIter:
     def __next__(self) -> Any:
         # after close() the drained queue never receives a sentinel (the
         # producer skips delivery once _stop is set) — a blocking get would
-        # hang forever; stale iterators must terminate instead
-        if getattr(self, "_closed", False):
-            raise StopIteration
-        item = self._q.get()
+        # hang forever; stale iterators must terminate instead. The timed
+        # get re-checks on every tick so a close() that lands while we are
+        # ALREADY blocked also terminates us instead of deadlocking.
+        while True:
+            if getattr(self, "_closed", False):
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.5)
+                break
+            except queue.Empty:
+                if not self._t.is_alive() and self._q.empty():
+                    # producer gone without a sentinel (raced a close)
+                    raise StopIteration
+                continue
         if item is self._sentinel:
             if self._err:
                 raise self._err[0]
@@ -475,7 +495,7 @@ class _BatchedLoader:
     def __iter__(self) -> Iterator[dict[str, Any]]:
         if self._active is not None:
             self._active.close()
-        self._active = _PrefetchIter(self._batches(), depth=self.prefetch)
+        self._active = _PrefetchIter(self._batches(), depth=self.prefetch, owner=self)
         return self._active
 
     def __del__(self) -> None:  # pragma: no cover - GC timing
