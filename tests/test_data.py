@@ -256,6 +256,10 @@ def test_worker_split_and_parallel_loader(tmp_path):
     # re-iterable (fresh worker set per pass)
     assert sorted(sig(s) for s in par) == base
 
+    # as-completed merge (no head-of-line blocking): same sample multiset
+    unordered = ParallelSampleSource(ds, num_workers=2, ordered=False)
+    assert sorted(sig(s) for s in unordered) == base
+
     # num_workers wiring through the public loader API
     loader = get_frame_dataloader(ds, batch_size=4, num_workers=2)
     batches = list(loader)

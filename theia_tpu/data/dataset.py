@@ -517,17 +517,22 @@ def get_frame_dataloader(
     prefetch: int = 4,
     drop_last: bool = True,
     num_workers: int = 0,
+    worker_ordered: bool = True,
     **kwargs: Any,
 ) -> Iterable[dict[str, Any]]:
     """Batched loader with shuffle-after-mix buffer (data_utils.py:531-556).
 
     ``num_workers > 0`` decodes shards in worker processes (the TPU-host
     analogue of wds.WebLoader(num_workers=...); see data/parallel_loader.py).
+    ``worker_ordered=False`` merges worker samples as-completed (no
+    head-of-line blocking on a straggler worker; order nondeterministic).
     """
     if num_workers > 0:
         from theia_tpu.data.parallel_loader import ParallelSampleSource
 
-        dataset = ParallelSampleSource(dataset, num_workers=num_workers)
+        dataset = ParallelSampleSource(
+            dataset, num_workers=num_workers, ordered=worker_ordered
+        )
     source: Iterable = dataset
     if shuffle:
         source = _ShuffleBuffer(source, shuffle_buffer_size, seed)

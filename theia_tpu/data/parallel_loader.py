@@ -61,6 +61,7 @@ class ParallelSampleSource:
         num_workers: int,
         queue_depth: int = 16,
         mp_context: str = "forkserver",
+        ordered: bool = True,
     ) -> None:
         if num_workers <= 0:
             raise ValueError("num_workers must be positive")
@@ -73,6 +74,13 @@ class ParallelSampleSource:
         self.num_workers = num_workers
         self.queue_depth = queue_depth
         self.mp_context = mp_context
+        # ordered=True: strict round-robin merge — deterministic sample order
+        # for a fixed (num_workers, seed), but head-of-line-blocks on the
+        # slowest worker (a straggler decoding a big video shard stalls the
+        # whole stream). ordered=False: one shared queue, samples yield
+        # as-completed — no stalls, same sample SET, order nondeterministic
+        # across runs (shuffle-buffer consumers don't care).
+        self.ordered = ordered
 
     def __iter__(self) -> Iterator[Any]:
         import sys
@@ -86,26 +94,41 @@ class ParallelSampleSource:
             mp_context = "fork"
         ctx = mp.get_context(mp_context)
         parts = self.dataset.split(self.num_workers)
-        queues = [ctx.Queue(maxsize=self.queue_depth) for _ in parts]
+        if self.ordered:
+            queues = [ctx.Queue(maxsize=self.queue_depth) for _ in parts]
+        else:
+            shared = ctx.Queue(maxsize=self.queue_depth * len(parts))
+            queues = [shared] * len(parts)
         procs = [
             ctx.Process(target=_worker_main, args=(part, q), daemon=True)
             for part, q in zip(parts, queues)
         ]
         for p in procs:
             p.start()
-        live = list(range(len(parts)))
         try:
-            while live:
-                next_live = []
-                for i in live:
-                    kind, payload = queues[i].get()
+            if self.ordered:
+                live = list(range(len(parts)))
+                while live:
+                    next_live = []
+                    for i in live:
+                        kind, payload = queues[i].get()
+                        if kind == "sample":
+                            yield payload
+                            next_live.append(i)
+                        elif kind == _ERROR:
+                            raise RuntimeError(f"loader worker {i} failed:\n{payload}")
+                        # sentinel: drop worker i from the rotation
+                    live = next_live
+            else:
+                done = 0
+                while done < len(parts):
+                    kind, payload = shared.get()
                     if kind == "sample":
                         yield payload
-                        next_live.append(i)
                     elif kind == _ERROR:
-                        raise RuntimeError(f"loader worker {i} failed:\n{payload}")
-                    # sentinel: drop worker i from the rotation
-                live = next_live
+                        raise RuntimeError(f"loader worker failed:\n{payload}")
+                    else:  # sentinel
+                        done += 1
         finally:
             for p in procs:
                 if p.is_alive():
