@@ -80,9 +80,14 @@ def main() -> None:
     summary = train_from_config(cfg, resume=False, max_steps=args.steps)
     wall = time.time() - t0
     # steps/epoch is bounded by the on-disk dataset (which may pre-exist
-    # from an earlier run with a different --n-train)
+    # from an earlier run with a different --n-train). Mirror the loop's
+    # math exactly: ceil(train_len / batch / n_data), capped by max_steps
+    # (train/loop.py:233,243) — n_data = all local devices (pure-DP mesh).
     splits = json.load(open(os.path.join(args.root, "imagenet", "splits.json")))
-    epoch_steps = min(args.steps, splits["train"] // args.batch)
+    import jax
+
+    n_data = jax.device_count()
+    epoch_steps = min(args.steps, -(-splits["train"] // (args.batch * n_data)))
     assert summary["step"] == 2 * epoch_steps, (summary["step"], epoch_steps)
 
     # steady-state rate: images_per_sec from epoch-2 log windows (cumulative
@@ -137,11 +142,10 @@ def main() -> None:
     # raw H2D bandwidth of this TPU attachment: on the axon network relay
     # this is ~2 orders below a real PCIe-attached host and is the binding
     # constraint on any pipeline that ships per-step data to the device
-    payload = np.random.randn(64 * 1024 * 1024 // 4).astype(np.float32)  # 64 MB
-    jax.device_put(payload).block_until_ready()  # warm the path
-    t = time.perf_counter()
-    float(jax.device_put(payload).sum())  # readback fences the transfer
-    h2d_bw = payload.nbytes / (time.perf_counter() - t)
+    # (compile-warm measurement; see benchmarks/_util.py)
+    from benchmarks._util import h2d_bandwidth
+
+    h2d_bw = h2d_bandwidth()
 
     # bytes each step must move host->device: uint8 image + bf16 targets
     img_bytes = 224 * 224 * 3

@@ -66,17 +66,12 @@ def main() -> None:
     t1, tn = run_n(1), run_n(31)
     resident_ips = args.batch / max((tn - t1) / 30, 1e-9)
 
-    # 2. raw H2D and D2H bandwidth of this attachment
-    payload = rng.randn(64 * 1024 * 1024 // 4).astype(np.float32)
-    jax.device_put(payload).block_until_ready()
-    t = time.perf_counter()
-    float(jax.device_put(payload).sum())
-    h2d_bw = payload.nbytes / (time.perf_counter() - t)
-    dev_payload = jax.device_put(payload)
-    float(dev_payload.sum())  # ensure resident
-    t = time.perf_counter()
-    _ = np.asarray(dev_payload)
-    d2h_bw = payload.nbytes / (time.perf_counter() - t)
+    # 2. raw H2D and D2H bandwidth of this attachment (compile-warm; see
+    # benchmarks/_util.py)
+    from benchmarks._util import d2h_bandwidth, h2d_bandwidth
+
+    h2d_bw = h2d_bandwidth()
+    d2h_bw = d2h_bandwidth()
 
     in_bytes = 224 * 224 * 3  # uint8 image
     out0 = fwd(params, dev)

@@ -92,7 +92,13 @@ def test_multichip_dp_serving(model_and_params):
         got = pred(imgs)
         assert got.shape[0] == n
         np.testing.assert_allclose(got, ref(imgs), atol=1e-5)
-    assert all("data" in tuple(s.spec) for s in seen), seen
+    def axes(spec):
+        out = []
+        for el in tuple(spec):
+            out.extend(el if isinstance(el, tuple) else (el,))
+        return out
+
+    assert all("data" in axes(s.spec) for s in seen), seen
 
     batches = [_images(n, seed=30 + n) for n in (3, 8, 1)]
     streamed = list(pred.predict_stream(iter(batches)))

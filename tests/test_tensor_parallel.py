@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from jax.sharding import PartitionSpec
 from theia_tpu.models import vit as jvit
 from theia_tpu.models.rvfm import Theia
 from theia_tpu.parallel.mesh import make_mesh, shard_batch
@@ -135,14 +136,23 @@ def test_tp_actually_shards(small_backbone):
     assert kc.addressable_shards[0].data.shape[1] == kc.shape[1] // 2
 
 
-def test_head_tp_rejects_indivisible(small_backbone):
+def test_head_tp_replicates_indivisible_with_warning(small_backbone):
+    """A head whose dims don't divide the model axis must be REPLICATED
+    with a warning — not fail a config that trained fine with backbone-only
+    TP (round-3 review finding)."""
     model = Theia(
         backbone=small_backbone, translator="lconv",
         target_feature_sizes={"x/odd": (30, 16, 16)},  # 30 % 4 != 0
     )
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.uint8))["params"]
-    with pytest.raises(ValueError, match="not divisible"):
-        tp_specs(params, 4)
+    with pytest.warns(UserWarning, match="replicating this head"):
+        specs = tp_specs(params, 4)
+    # the odd head is fully replicated ...
+    head = specs["translator_module"]["head_x_odd"]
+    assert all(s == PartitionSpec() for s in jax.tree.leaves(head, is_leaf=lambda x: isinstance(x, PartitionSpec)))
+    # ... while the backbone blocks still shard
+    flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, PartitionSpec))
+    assert any("model" in str(s) for s in flat)
 
 
 def test_validate_tp_rejects_indivisible():

@@ -235,6 +235,13 @@ class _TransformerBlock(nn.Module):
                 ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, c)
                 x = x + dense(c, "attention_output")(ctx)
             elif key_mask is not None:
+                if cfg.attention_impl != "einsum":
+                    raise ValueError(
+                        "TOKEN_PAD_MULTIPLE requires attention_impl='einsum' "
+                        f"(got {cfg.attention_impl!r}): the pallas/flash "
+                        "kernels take no score mask, and silently swapping "
+                        "the implementation would invalidate any A/B"
+                    )
                 # masked exact path: f32 scores like _einsum_attention
                 scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
                 probs = jax.nn.softmax(masked(scores) / math.sqrt(hd), axis=-1).astype(self.dtype)

@@ -127,6 +127,30 @@ def _ladder_plan(head: Any) -> dict[str, str]:
     return plan
 
 
+def _head_divisible(head: Any, plan: dict[str, str], n_model: int) -> bool:
+    """True iff every dimension the plan would shard divides n_model."""
+    for mod, role in plan.items():
+        sub = head.get(mod)
+        if not hasattr(sub, "keys"):
+            continue
+        if role == "col":
+            k = sub.get("kernel")
+            if k is not None and k.shape[-1] % n_model:
+                return False
+            b = sub.get("bias")
+            if b is not None and b.shape[0] % n_model:
+                return False
+        elif role == "row":
+            k = sub.get("kernel")
+            if k is not None and k.shape[-2] % n_model:
+                return False
+        elif role == "ln_shard":
+            w = sub.get("weight")
+            if w is not None and w.shape[0] % n_model:
+                return False
+    return True
+
+
 def tp_specs(params: Any, n_model: int = 0) -> Any:
     """Full tensor-parallel PartitionSpecs: backbone blocks (see
     ``backbone_tp_specs``) PLUS the translator heads (see module docstring
@@ -137,7 +161,21 @@ def tp_specs(params: Any, n_model: int = 0) -> Any:
     if tr is not None:
         for head_name, head in tr.items():
             if head_name.startswith("head_") and hasattr(head, "keys"):
-                plans[head_name] = _ladder_plan(head)
+                plan = _ladder_plan(head)
+                if n_model > 1 and not _head_divisible(head, plan, n_model):
+                    # a head whose channel dims don't divide the model axis
+                    # (e.g. a custom teacher with odd feature size) stays
+                    # replicated — the backbone still shards; don't fail a
+                    # config that trained fine with backbone-only TP
+                    import warnings
+
+                    warnings.warn(
+                        f"head TP: {head_name} has dimensions not divisible "
+                        f"by model_axis={n_model}; replicating this head "
+                        "(backbone TP unaffected)"
+                    )
+                    continue
+                plans[head_name] = plan
 
     def check(dim: int, path) -> None:
         if n_model > 1 and dim % n_model:

@@ -76,9 +76,17 @@ class Predictor:
         self._depth = max(1, int(depth))
         n_data = 1
         if mesh is not None:
-            n_data = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a != "model"]))
+            # batch shards over every non-"model" axis, whatever it's named
+            # (make_mesh uses "data", but any mesh is accepted)
+            data_axes = tuple(a for a in mesh.axis_names if a != "model")
+            if not data_axes:
+                raise ValueError(
+                    f"mesh {mesh.axis_names} has no non-'model' axis to "
+                    "shard the batch over"
+                )
+            n_data = int(np.prod([mesh.shape[a] for a in data_axes]))
             repl = NamedSharding(mesh, P())
-            self._in_sharding = NamedSharding(mesh, P("data"))
+            self._in_sharding = NamedSharding(mesh, P(data_axes))
             params = jax.device_put(params, repl)
         else:
             self._in_sharding = None

@@ -110,14 +110,21 @@ def restore_checkpoint(ckpt_dir: str, target_state: Any, step: Optional[int] = N
         if step is not None:
             return mgr.restore(step, args=ocp.args.StandardRestore(target_state))
         steps = sorted(mgr.all_steps(), reverse=True)
-        last_err: Optional[Exception] = None
+        first_err: Optional[Exception] = None
         for s in steps:
             try:
                 return mgr.restore(s, args=ocp.args.StandardRestore(target_state))
             except Exception as e:  # corrupt/partial step dir: fall back
-                last_err = e
-        if last_err is not None:
-            raise last_err
+                if first_err is None:
+                    first_err = e  # the NEWEST step's error is the diagnostic one
+                else:
+                    import warnings
+
+                    warnings.warn(f"checkpoint step {s} also unreadable: {e!r}")
+        if first_err is not None:
+            # every committed step failed — a systematic mismatch (structure/
+            # sharding change), not corruption: surface the newest error
+            raise first_err
         return None
     finally:
         mgr.close()
