@@ -74,6 +74,10 @@ def test_kill_mid_epoch_auto_resume(tmp_path):
         tmp_path / "ckpt" / "rvfm_dp1.000_facebook-deit-tiny-patch16-224_lconv"
     )
     env = dict(os.environ)
+    # the child must import theia_tpu without relying on a pip install
+    # (script lives under tmp_path, so sys.path[0] is NOT the repo root)
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
     def committed():
         # orbax commits a step by atomic rename to a bare digit dir; a cheap
