@@ -63,11 +63,16 @@ def _bench_distill(backbone: str, batch_size: int):
         fuse_preprocessing=True,  # processor folded into the patch conv
         fast_math=True,           # training numerics mode (mse ~5e-9 vs exact)
     )
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randint(0, 256, (batch_size, 224, 224, 3), np.uint8))
+    # Generate inputs ON DEVICE: the cddsv target set is ~4 MB/image, so a
+    # host-generated batch is >1 GB of H2D — minutes over a degraded relay
+    # (measured 4-5 MB/s on 2026-08-18) for data whose values don't matter.
+    # Step timing is data-independent; only shapes/dtypes must match.
+    key = jax.random.PRNGKey(0)
+    kimg, *kt = jax.random.split(key, 1 + len(CDDSV_TARGETS))
+    images = jax.random.randint(kimg, (batch_size, 224, 224, 3), 0, 256, jnp.uint8)
     targets = {
-        k: jnp.asarray(rng.randn(batch_size, s[1] * s[2], s[0]).astype(np.float32), jnp.bfloat16)
-        for k, s in CDDSV_TARGETS.items()
+        k: jax.random.normal(kk, (batch_size, s[1] * s[2], s[0]), jnp.bfloat16)
+        for kk, (k, s) in zip(kt, CDDSV_TARGETS.items())
     }
     params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
     tx = make_optimizer(constant_with_warmup(1e-3, 100), weight_decay=0.01)
@@ -94,8 +99,8 @@ def _bench_forward_feature(backbone: str, batch_size: int = 1):
     from theia_tpu.models.rvfm import Theia
 
     model = Theia(backbone=backbone, translator="lconv", dtype=jnp.bfloat16)
-    images = jnp.asarray(
-        np.random.RandomState(0).randint(0, 256, (batch_size, 224, 224, 3), np.uint8)
+    images = jax.random.randint(
+        jax.random.PRNGKey(0), (batch_size, 224, 224, 3), 0, 256, jnp.uint8
     )
     variables = model.init(jax.random.PRNGKey(0), images, method=model.forward_feature)
     # each call consumes a token derived from the previous output so calls

@@ -49,9 +49,16 @@ def d2h_bandwidth(nbytes: int = 64 * 1024 * 1024) -> float:
     import jax
 
     payload = np.random.default_rng(1).standard_normal(nbytes // 4).astype(np.float32)
+    # jax.Array caches its host copy after the first np.asarray, so timing a
+    # second read of the SAME array measures a host memcpy (~700 GB/s seen),
+    # not the wire. Read back a FRESH array each time: bump() produces a new
+    # buffer per call; its on-chip cost (one HBM add) is negligible vs the
+    # transfer at any realistic attachment bandwidth.
+    bump = jax.jit(lambda x: x + 1.0)
     dev = jax.device_put(payload)
-    float(dev.sum())  # resident + any compile done
-    _ = np.asarray(dev)  # warm the readback path
+    warm = bump(dev)
+    _ = np.asarray(warm)  # warm compile + readback path
+    fresh = bump(warm)
     t = time.perf_counter()
-    _ = np.asarray(dev)
+    _ = np.asarray(fresh)
     return payload.nbytes / (time.perf_counter() - t)
