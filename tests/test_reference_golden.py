@@ -58,13 +58,25 @@ def reference_models():
 @pytest.mark.parametrize("name", NAMES)
 def test_reference_regeneration_matches_stored(name, reference_models):
     """Guard: rebuilding the reference model from the fixed seed must
-    reproduce the stored fixture bit-for-bit (catches torch/transformers
-    RNG or numerics drift before any parity claim is made)."""
+    reproduce the stored fixture (catches torch/transformers RNG or
+    numerics drift before any parity claim is made).
+
+    Tolerance note: torch CPU kernels are not bit-stable across sessions —
+    oneDNN picks reduction orders per-host/per-run (observed 2026-08-18:
+    0.55% of fp16-stored elements off by exactly 1 fp16 ULP on identical
+    code+seed). RNG drift, the failure this guards against, mismatches
+    grossly; so compare fp16-stored arrays at 1 fp16 ULP (rtol 2^-10,
+    atol for subnormals) and f32-stored arrays at 1e-6."""
     stored = load_stored(name)
     fresh = run_reference(reference_models(name), name=name)
     assert set(fresh) == set(stored)
     for k, v in fresh.items():
-        np.testing.assert_allclose(v, stored[k], rtol=1e-6, atol=1e-6, err_msg=f"{name}:{k}")
+        s = stored[k]
+        if s.dtype == np.float16:
+            rtol, atol = 2.0**-10, 1e-5
+        else:
+            rtol, atol = 1e-6, 1e-6
+        np.testing.assert_allclose(v, s, rtol=rtol, atol=atol, err_msg=f"{name}:{k}")
 
 
 @pytest.mark.parametrize("name", NAMES)
