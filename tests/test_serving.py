@@ -163,3 +163,22 @@ def test_dp_serving_accepts_any_axis_names(model_and_params):
 
     with pytest.raises(ValueError, match="no non-'model' axis"):
         Predictor(model, params, mesh=Mesh(np.asarray(jax.devices()).reshape(8), ("model",)))
+
+
+def test_bf16_readback(model_and_params):
+    """out_dtype=bfloat16 halves D2H bytes; host sees float32 within bf16
+    rounding of the exact result (round-3: serve stream is wire-bound)."""
+    import jax.numpy as jnp
+
+    model, params = model_and_params
+    exact = Predictor(model, params, buckets=(2,))
+    narrow = Predictor(model, params, buckets=(2,), out_dtype=jnp.bfloat16)
+    imgs = _images(3, seed=5)
+    want = exact(imgs)
+    got = narrow(imgs)
+    assert got.dtype == np.float32
+    # bf16 has an 8-bit mantissa: relative error bounded by ~2^-8
+    np.testing.assert_allclose(got, want, rtol=2 ** -7, atol=2 ** -7)
+    # streaming path honors it too
+    (s,) = list(narrow.predict_stream(iter([imgs])))
+    np.testing.assert_allclose(s, got, atol=0)

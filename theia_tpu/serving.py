@@ -55,6 +55,13 @@ class Predictor:
             replicated, batches sharded over the "data" axis.
         depth: pipeline depth for ``predict_stream`` — how many batches may
             be in flight (staged or computing) before readback.
+        out_dtype: optional on-device output cast before readback (e.g.
+            ``jnp.bfloat16``). The round-3 chip measurements showed the
+            serve stream transfer-bound on the host↔device wire; features
+            are f32 [B,196,C] (≈600 KB/img at base) so a bf16 readback
+            halves D2H bytes. Results are upcast to float32 on the host —
+            callers see the same dtype, with ~3 significant digits
+            (bf16 has an 8-bit mantissa) of the exact value.
     """
 
     def __init__(
@@ -66,6 +73,7 @@ class Predictor:
         method: str = "forward_feature",
         mesh: Optional[Mesh] = None,
         depth: int = 2,
+        out_dtype: Optional[Any] = None,
     ) -> None:
         if hasattr(model, "model") and hasattr(model, "params"):
             params = model.params
@@ -99,6 +107,10 @@ class Predictor:
             fn = lambda p, x: model.apply({"params": p}, x)
         else:
             raise ValueError(f"unknown method {method!r}")
+        if out_dtype is not None:
+            inner = fn
+            fn = lambda p, x: jax.tree.map(lambda y: y.astype(out_dtype), inner(p, x))
+        self._upcast = out_dtype is not None
         self._fn = jax.jit(fn)
 
     def _bucket(self, n: int) -> int:
@@ -127,8 +139,10 @@ class Predictor:
         dev, n = staged
         return self._fn(self._params, dev), n
 
-    @staticmethod
-    def _readback(result: Any, n: int) -> Any:
+    def _readback(self, result: Any, n: int) -> Any:
+        if self._upcast:
+            # the D2H transfer moves the narrow dtype; upcast happens on host
+            return jax.tree.map(lambda y: np.asarray(y[:n]).astype(np.float32), result)
         return jax.tree.map(lambda y: np.asarray(y[:n]), result)
 
     def _chunks(self, images: np.ndarray) -> list[np.ndarray]:
