@@ -83,22 +83,32 @@ def main() -> None:
     duplex_ceiling_ips = min(h2d_bw / in_bytes, d2h_bw / out_bytes)
     relay_ceiling_ips = serial_ceiling_ips
 
-    # 3. predict_stream over host batches (each a fresh numpy array)
-    pred = Predictor(model, params, buckets=(args.batch,), depth=2)
+    # 3. predict_stream over host batches (each a fresh numpy array);
+    # same-process A/B of the f32 vs bf16 readback path (bf16 halves the
+    # dominant D2H bytes on this wire-bound attachment)
     batches = [rng.randint(0, 256, (args.batch, 224, 224, 3), np.uint8)
                for _ in range(args.n_batches)]
-    for _ in pred.predict_stream(iter(batches[:3])):  # warm compile + path
-        pass
-    t = time.perf_counter()
-    n_out = 0
-    for out in pred.predict_stream(iter(batches)):
-        n_out += out.shape[0]
-    stream_s = time.perf_counter() - t
-    stream_ips = n_out / stream_s
 
+    def stream_rate(pred):
+        for _ in pred.predict_stream(iter(batches[:3])):  # warm compile + path
+            pass
+        t = time.perf_counter()
+        n_out = 0
+        for out in pred.predict_stream(iter(batches)):
+            n_out += out.shape[0]
+        return n_out / (time.perf_counter() - t)
+
+    stream_ips = stream_rate(Predictor(model, params, buckets=(args.batch,), depth=2))
+    stream_bf16_ips = stream_rate(
+        Predictor(model, params, buckets=(args.batch,), depth=2, out_dtype=jnp.bfloat16)
+    )
+
+    bf16_serial_ceiling_ips = 1.0 / (in_bytes / h2d_bw + out_bytes / 2 / d2h_bw)
     bound = min(resident_ips, relay_ceiling_ips)
     print(json.dumps({
         "stream_images_per_sec": round(stream_ips, 1),
+        "stream_bf16_readback_images_per_sec": round(stream_bf16_ips, 1),
+        "bf16_relay_serial_ceiling_images_per_sec": round(bf16_serial_ceiling_ips, 1),
         "resident_forward_images_per_sec": round(resident_ips, 1),
         "h2d_bandwidth_MB_per_s": round(h2d_bw / 1e6, 1),
         "d2h_bandwidth_MB_per_s": round(d2h_bw / 1e6, 1),
