@@ -49,7 +49,20 @@ CANDIDATES: list[dict[str, str]] = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="tiny,base")
+    ap.add_argument(
+        "--vmem",
+        default=None,
+        help="comma-separated xla_tpu_scoped_vmem_limit_kib values to sweep "
+        "(replaces the default candidate list; baseline bracketed A/...-/A)",
+    )
     args = ap.parse_args()
+    global CANDIDATES
+    if args.vmem:
+        CANDIDATES = (
+            [{}]
+            + [{"xla_tpu_scoped_vmem_limit_kib": v} for v in args.vmem.split(",")]
+            + [{}]
+        )
 
     import jax
     import jax.numpy as jnp

@@ -22,6 +22,19 @@ from theia_tpu.train.optim import clip_grad_norm
 from theia_tpu.train.state import TrainState
 
 
+# Default XLA compiler options for the train step on TPU, found by the
+# same-process A/B sweep in benchmarks/probe_xla_flags.py (PERFORMANCE.md
+# "Compiler resource envelope"): raising the scoped-VMEM budget the fusion
+# emitter may tile into lets the bandwidth-bound 64x64 head-ladder fusions
+# use deeper tiles (less HBM re-streaming). Measured on v5e-class chip:
+# tiny 91.05->89.55 ms, base 146.41->143.07 ms; 64 MB+ regresses (deeper
+# tiles start evicting the working set). Applied only when the backend is
+# TPU and the option is accepted; anything else falls back to plain jit.
+DEFAULT_COMPILER_OPTIONS: dict[str, str] = {
+    "xla_tpu_scoped_vmem_limit_kib": "32768",
+}
+
+
 def _accepts_mask(tx: optax.GradientTransformation) -> bool:
     """True when tx.update takes our masked-optimizer ``mask`` kwarg
     (train.optim.make_optimizer); plain optax transformations don't."""
@@ -71,6 +84,7 @@ def make_train_step(
     donate: bool = True,
     target_stats: Optional[Mapping[str, tuple]] = None,
     state_shardings: Optional[Any] = None,
+    compiler_options: Optional[Mapping[str, str]] = None,
 ) -> Callable:
     """Build train_step(state, images, targets, loss_masks=None) -> (state, metrics).
 
@@ -81,6 +95,11 @@ def make_train_step(
         here branch-free: translator updates are zeroed past the threshold;
       - loss_masks implements random_target_models 2-of-N subsampling
         without recompilation (train_rvfm.py:102-105).
+
+    ``compiler_options``: per-compile XLA/PJRT options. ``None`` uses
+    ``DEFAULT_COMPILER_OPTIONS`` (measured win on TPU); ``{}`` disables.
+    Only applied when the backend is TPU; on any failure the step silently
+    falls back to plain ``jax.jit`` semantics.
     """
 
     def loss_fn(params, images, targets, loss_masks):
@@ -178,10 +197,45 @@ def make_train_step(
             donate_argnums=(0,) if donate else (),
         )
 
+    opts = dict(DEFAULT_COMPILER_OPTIONS if compiler_options is None else compiler_options)
+    cache: dict[Any, Any] = {}
+
+    def _use_options() -> bool:
+        if not opts:
+            return False
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:
+            return False
+
+    use_opts = _use_options()
+
     def wrapper(state, images, targets, loss_masks=None):
-        return jitted(state, images, targets, loss_masks)
+        nonlocal use_opts
+        if not use_opts:
+            return jitted(state, images, targets, loss_masks)
+        args = (state, images, targets, loss_masks)
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        key = (
+            treedef,
+            tuple(
+                (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
+                for x in leaves
+            ),
+        )
+        compiled = cache.get(key)
+        if compiled is None:
+            try:
+                compiled = jitted.lower(*args).compile(compiler_options=opts)
+            except Exception:
+                # option rejected by this backend build: permanent fallback
+                use_opts = False
+                return jitted(state, images, targets, loss_masks)
+            cache[key] = compiled
+        return compiled(*args)
 
     wrapper._jitted = jitted  # for HLO inspection (benchmarks/map_fusions.py)
+    wrapper._compiler_options = opts if opts else None
     return wrapper
 
 
