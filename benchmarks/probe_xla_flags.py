@@ -60,7 +60,7 @@ def main() -> None:
     if args.vmem:
         CANDIDATES = (
             [{}]
-            + [{"xla_tpu_scoped_vmem_limit_kib": v} for v in args.vmem.split(",")]
+            + [{"xla_tpu_scoped_vmem_limit_kib": v.strip()} for v in args.vmem.split(",")]
             + [{}]
         )
 

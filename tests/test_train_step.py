@@ -330,3 +330,53 @@ def test_plain_optax_tx_with_freeze_and_masks():
         before["backbone_module"], new_state.params["backbone_module"],
     )
     assert any(jax.tree.leaves(moved))
+
+
+def test_bf16_moments_track_f32():
+    """moment_dtype=bf16 (VERDICT r3 #1b lever): Adam moments stored bf16,
+    update math f32 — trajectories stay within bf16 rounding of f32 AdamW."""
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(16, 8).astype(np.float32)
+    params32 = {"dense": {"kernel": jnp.asarray(w0)}}
+    params16 = {"dense": {"kernel": jnp.asarray(w0)}}
+    tx32 = make_optimizer(1e-3, weight_decay=0.01)
+    tx16 = make_optimizer(1e-3, weight_decay=0.01, moment_dtype=jnp.bfloat16)
+    s32, s16 = tx32.init(params32), tx16.init(params16)
+    assert jax.tree.leaves(s16.mu)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(s16.nu)[0].dtype == jnp.bfloat16
+    assert jax.tree.leaves(s32.mu)[0].dtype == jnp.float32
+    for i in range(30):
+        g = {"dense": {"kernel": jnp.asarray(rng.randn(16, 8).astype(np.float32))}}
+        u32, s32 = tx32.update(g, s32, params32)
+        params32 = optax.apply_updates(params32, u32)
+        u16, s16 = tx16.update(g, s16, params16)
+        params16 = optax.apply_updates(params16, u16)
+    d32 = np.asarray(params32["dense"]["kernel"]) - w0
+    d16 = np.asarray(params16["dense"]["kernel"]) - w0
+    # per-step updates are O(lr); bf16 moment rounding perturbs the Adam
+    # direction by O(2^-9) relative — parameter deltas agree to ~1%
+    assert np.abs(d16 - d32).max() / np.abs(d32).max() < 0.05
+
+
+def test_train_step_loss_dtype_bf16(tiny_theia):
+    """loss_dtype=bf16 end-to-end: same step semantics, loss within bf16
+    rounding of the f32-loss step, and training still reduces the loss."""
+    model, params = tiny_theia
+    imgs, targets = _batch(4)
+    tx = make_optimizer(constant_with_warmup(1e-3, 10), weight_decay=0.01)
+    # donate=False: both states alias the same param buffers; donation in
+    # step32 would delete the arrays st16 still references
+    step32 = make_train_step(model, tx, main_loss="cos_l1", donate=False)
+    step16 = make_train_step(
+        model, tx, main_loss="cos_l1", loss_dtype=jnp.bfloat16, donate=False
+    )
+    st32 = TrainState.create(params, tx)
+    st16 = TrainState.create(params, tx)
+    st32_1, m32 = step32(st32, imgs, targets)
+    st16_1, m16 = step16(st16, imgs, targets)
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=2e-2)
+    # a few more steps: loss must decrease under the bf16-loss gradients too
+    st, prev = st16_1, float(m16["loss"])
+    for _ in range(5):
+        st, m = step16(st, imgs, targets)
+    assert float(m["loss"]) < prev

@@ -21,12 +21,15 @@ import jax.numpy as jnp
 
 
 def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.square(pred - target))
+    return jnp.mean(jnp.square(pred - target), dtype=jnp.float32)
 
 
 def smooth_l1_loss(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
     d = jnp.abs(pred - target)
-    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+    beta = jnp.asarray(beta, d.dtype)
+    return jnp.mean(
+        jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta), dtype=jnp.float32
+    )
 
 
 def cosine_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -43,9 +46,9 @@ def cosine_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.A
     """
     p = pred.reshape(pred.shape[0], -1)
     t = target.reshape(target.shape[0], -1)
-    s_pt = jnp.sum(p * t, axis=1)
-    s_pp = jnp.sum(p * p, axis=1)
-    s_tt = jnp.sum(t * t, axis=1)
+    s_pt = jnp.sum(p * t, axis=1, dtype=jnp.float32)
+    s_pp = jnp.sum(p * p, axis=1, dtype=jnp.float32)
+    s_tt = jnp.sum(t * t, axis=1, dtype=jnp.float32)
     denom = jnp.maximum(jnp.sqrt(s_pp), eps) * jnp.maximum(jnp.sqrt(s_tt), eps)
     return jnp.mean(1.0 - s_pt / denom)
 
@@ -70,6 +73,7 @@ def get_loss(
     target_loss_weights: Optional[Mapping[str, float] | float] = None,
     loss_masks: Optional[Mapping[str, jax.Array]] = None,
     fused: Optional[bool] = None,
+    compute_dtype: Any = jnp.float32,
 ) -> dict[str, Any]:
     """Compute distillation loss terms for every predicted teacher.
 
@@ -77,6 +81,14 @@ def get_loss(
     branch-free TPU equivalent of the reference's `random_target_models`
     2-of-N teacher subsampling (train_rvfm.py:102-105): all heads compute,
     masked teachers contribute zero to the averaged losses.
+
+    compute_dtype: elementwise dtype for the big per-teacher loss terms; all
+    reductions accumulate in f32 either way. float32 (default) matches torch
+    bit-for-bit tolerance (tests/test_losses.py); bfloat16 halves the HBM
+    traffic of the loss section AND of the dL/dpred cotangents over the
+    [B,4096,C] SAM/depth maps — a fast_math-class lever inside the <1e-3
+    feature-MSE parity budget (loss values differ ~1e-3 relative,
+    tests/test_losses.py::test_bf16_loss_close_to_f32).
     """
     names = list(pred_features.keys())
     n = len(names)
@@ -99,8 +111,8 @@ def get_loss(
         fused = False
 
     for t in names:
-        pred = pred_features[t].astype(jnp.float32)
-        target = targets[t].astype(jnp.float32)
+        pred = pred_features[t].astype(compute_dtype)
+        target = targets[t].astype(compute_dtype)
         d_flat = pred.size // pred.shape[0]
         if fused and d_flat >= 1024 and d_flat % 128 == 0:
             mse, l1, cos = _losses_fused(pred, target)

@@ -250,12 +250,27 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         int(cfg.training.base_batch_size), int(cfg.training.base_world_size),
     )
     schedule = build_lr_schedule(cfg, lr, total_train_steps, warmup_steps)
+    # fast_math-class dtype levers (PERFORMANCE.md "numerics budget"):
+    # loss_dtype=bfloat16 computes the per-teacher loss elementwise terms and
+    # the dL/dpred cotangents in bf16 (f32 accumulation); moment_dtype
+    # stores Adam moments bf16. Both default off (torch-exact parity).
+    loss_dtype = (
+        jnp.bfloat16
+        if cfg.training.get("loss_dtype", "float32") == "bfloat16"
+        else jnp.float32
+    )
+    moment_dtype = (
+        jnp.bfloat16
+        if cfg.training.get("moment_dtype", None) == "bfloat16"
+        else None
+    )
     tx = make_optimizer(
         schedule,
         weight_decay=float(cfg.training.weight_decay),
         betas=tuple(cfg.training.optimizer.get("betas", (0.9, 0.999))),
         eps=float(cfg.training.optimizer.get("eps", 1e-8)),
         translator_lr_factor=float(cfg.training.get("translator_lr_factor", 1.0)),
+        moment_dtype=moment_dtype,
     )
 
     init_images = jnp.zeros((2, 224, 224, 3), jnp.uint8)
@@ -295,6 +310,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         mesh=mesh,
         target_stats=target_stats,
         state_shardings=state_shardings,
+        loss_dtype=loss_dtype,
     )
     eval_step = make_eval_step(
         model,

@@ -101,8 +101,16 @@ def make_optimizer(
     betas: tuple[float, float] = (0.9, 0.999),
     eps: float = 1e-8,
     translator_lr_factor: float = 1.0,
+    moment_dtype: Any = None,
 ) -> optax.GradientTransformationExtraArgs:
     """AdamW with the reference's decay mask and torch-exact dynamic masking.
+
+    ``moment_dtype``: storage dtype for the Adam moments (None = param
+    dtype, torch-exact). ``jnp.bfloat16`` halves the optimizer's HBM
+    traffic and state footprint (mu/nu are 2 of the 4 f32 copies of every
+    param the step streams); the update math still runs in the grad dtype
+    (f32) — only the carried moments round. A fast_math-class lever inside
+    the <1e-3 feature-parity budget (tests/test_train_step.py).
 
     ``tx.update(grads, state, params, mask=pytree_of_0or1_scalars)`` freezes
     masked leaves completely (no param motion, no moment decay, no per-leaf
@@ -115,11 +123,12 @@ def make_optimizer(
     b1, b2 = betas
 
     def init(params: Any) -> MaskedAdamWState:
+        moments = lambda p: jnp.zeros(p.shape, moment_dtype or p.dtype)
         return MaskedAdamWState(
             sched_count=jnp.zeros((), jnp.int32),
             count=jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(jnp.zeros_like, params),
+            mu=jax.tree.map(moments, params),
+            nu=jax.tree.map(moments, params),
         )
 
     def update(grads: Any, state: MaskedAdamWState, params: Any = None, *, mask: Any = None):
@@ -144,8 +153,10 @@ def make_optimizer(
         ):
             m = jnp.asarray(m, g.dtype)
             c1 = c + jnp.asarray(m, jnp.int32)
-            mu1 = m * (b1 * mu + (1.0 - b1) * g) + (1.0 - m) * mu
-            nu1 = m * (b2 * nu + (1.0 - b2) * g * g) + (1.0 - m) * nu
+            # moments may be stored narrower (moment_dtype); the step math
+            # runs in the grad dtype and only the carried state rounds
+            mu1 = m * (b1 * mu.astype(g.dtype) + (1.0 - b1) * g) + (1.0 - m) * mu.astype(g.dtype)
+            nu1 = m * (b2 * nu.astype(g.dtype) + (1.0 - b2) * g * g) + (1.0 - m) * nu.astype(g.dtype)
             cf = jnp.asarray(c1, g.dtype)
             # guard c1==0 (never-updated leaf): bias denominators would be 0
             bc1 = jnp.where(c1 > 0, 1.0 - b1**cf, 1.0)
@@ -156,8 +167,8 @@ def make_optimizer(
             if translator_lr_factor != 1.0 and top == "translator_module":
                 u = u * translator_lr_factor
             new_c.append(c1)
-            new_mu.append(mu1)
-            new_nu.append(nu1)
+            new_mu.append(mu1.astype(mu.dtype))
+            new_nu.append(nu1.astype(nu.dtype))
             upds.append(u)
 
         unflatten = jax.tree_util.tree_structure(params).unflatten

@@ -49,21 +49,24 @@ def _accepts_mask(tx: optax.GradientTransformation) -> bool:
 def prepare_targets(
     targets: Mapping[str, jax.Array],
     target_stats: Optional[Mapping[str, tuple]] = None,
+    dtype: Any = jnp.float32,
 ) -> dict[str, jax.Array]:
     """Device-side target preparation: rearrange raw [B,C,H,W] teacher
     buffers to [B,H*W,C] and apply (x-mean)/std normalization inside the
     jitted step (feature_norm="device" mode — host numpy bf16 math is
-    emulated and throttles the input pipeline)."""
+    emulated and throttles the input pipeline). ``dtype`` is the working
+    dtype of the normalized targets (bf16 under loss_dtype=bf16 keeps the
+    stored-bf16 buffers bf16 end-to-end; stats stay f32)."""
     out = {}
     for t, arr in targets.items():
         if arr.ndim == 4:  # raw [B, C, H, W]
             b, c = arr.shape[0], arr.shape[1]
             arr = jnp.transpose(arr.reshape(b, c, -1), (0, 2, 1))
-        arr = arr.astype(jnp.float32)
+        arr = arr.astype(dtype)
         if target_stats is not None and t in target_stats:
             mean, std = target_stats[t]
             if mean is not None:
-                arr = (arr - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+                arr = (arr - jnp.asarray(mean, dtype)) / jnp.asarray(std, dtype)
         out[t] = arr
     return out
 
@@ -85,6 +88,7 @@ def make_train_step(
     target_stats: Optional[Mapping[str, tuple]] = None,
     state_shardings: Optional[Any] = None,
     compiler_options: Optional[Mapping[str, str]] = None,
+    loss_dtype: Any = jnp.float32,
 ) -> Callable:
     """Build train_step(state, images, targets, loss_masks=None) -> (state, metrics).
 
@@ -98,16 +102,18 @@ def make_train_step(
 
     ``compiler_options``: per-compile XLA/PJRT options. ``None`` uses
     ``DEFAULT_COMPILER_OPTIONS`` (measured win on TPU); ``{}`` disables.
-    Only applied when the backend is TPU; on any failure the step silently
-    falls back to plain ``jax.jit`` semantics.
+    Only applied when the backend is TPU and accepts them (probed once with
+    a trivial compile, warning on rejection); otherwise plain ``jax.jit``.
     """
 
     def loss_fn(params, images, targets, loss_masks):
         preds = model.apply({"params": params}, images)
         # targets arrive as [B, H*W, C] (+"_cls": [B, C]), or raw [B,C,H,W]
         # bf16 buffers when the loader runs in feature_norm="device" mode
-        targets = prepare_targets(targets, target_stats)
-        losses = get_loss(preds, targets, target_loss_weights, loss_masks)
+        targets = prepare_targets(targets, target_stats, dtype=loss_dtype)
+        losses = get_loss(
+            preds, targets, target_loss_weights, loss_masks, compute_dtype=loss_dtype
+        )
         main = main_loss_from_terms(losses, main_loss)
         return main, losses
 
@@ -181,62 +187,82 @@ def make_train_step(
             metrics,
         )
 
-    if mesh is None:
-        jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
-    else:
+    shard_kwargs: dict[str, Any] = {}
+    if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         # state_shardings (parallel.tp.train_state_shardings) shards the
         # backbone params/moments over the "model" axis — tensor parallelism
         # via GSPMD annotations; default is replicated params (pure DP)
         state_sh = state_shardings if state_shardings is not None else repl
-        jitted = jax.jit(
-            train_step,
+        shard_kwargs = dict(
             in_shardings=(state_sh, data, data, repl),
             out_shardings=(state_sh, repl),
-            donate_argnums=(0,) if donate else (),
         )
+    jitted = jax.jit(
+        train_step, donate_argnums=(0,) if donate else (), **shard_kwargs
+    )
 
     opts = dict(DEFAULT_COMPILER_OPTIONS if compiler_options is None else compiler_options)
-    cache: dict[Any, Any] = {}
-
-    def _use_options() -> bool:
-        if not opts:
-            return False
-        try:
-            return jax.devices()[0].platform == "tpu"
-        except Exception:
-            return False
-
-    use_opts = _use_options()
+    use_opts = bool(opts) and compiler_options_supported(opts)
+    if use_opts:
+        # jax>=0.9 takes compiler_options directly on jit: shape/sharding/
+        # weak_type dispatch, donation and recompilation all behave exactly
+        # like plain jit (the hand-rolled AOT cache this replaces keyed only
+        # on shape/dtype and could serve a stale executable to differently
+        # committed inputs).
+        optioned = jax.jit(
+            train_step,
+            donate_argnums=(0,) if donate else (),
+            compiler_options=opts,
+            **shard_kwargs,
+        )
+    else:
+        optioned = jitted
 
     def wrapper(state, images, targets, loss_masks=None):
-        nonlocal use_opts
-        if not use_opts:
-            return jitted(state, images, targets, loss_masks)
-        args = (state, images, targets, loss_masks)
-        leaves, treedef = jax.tree_util.tree_flatten(args)
-        key = (
-            treedef,
-            tuple(
-                (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
-                for x in leaves
-            ),
-        )
-        compiled = cache.get(key)
-        if compiled is None:
-            try:
-                compiled = jitted.lower(*args).compile(compiler_options=opts)
-            except Exception:
-                # option rejected by this backend build: permanent fallback
-                use_opts = False
-                return jitted(state, images, targets, loss_masks)
-            cache[key] = compiled
-        return compiled(*args)
+        return optioned(state, images, targets, loss_masks)
 
-    wrapper._jitted = jitted  # for HLO inspection (benchmarks/map_fusions.py)
-    wrapper._compiler_options = opts if opts else None
+    wrapper._jitted = jitted  # options-free, for HLO inspection / option A/Bs
+    # live state: None whenever the options are NOT in effect (non-TPU
+    # backend, empty dict, or the probe compile rejected them)
+    wrapper._compiler_options = opts if use_opts else None
     return wrapper
+
+
+_OPTION_PROBE_CACHE: dict[frozenset, bool] = {}
+
+
+def compiler_options_supported(opts: Mapping[str, str]) -> bool:
+    """True iff the default backend is TPU and accepts ``opts``.
+
+    Probed once per option-set with a trivial compile so an option rejected
+    by this backend build degrades to plain jit with ONE visible warning —
+    not a silent, permanent loss of a measured win (nor a masked real
+    compile failure: only the probe's failure is swallowed; real train-step
+    compile errors surface normally)."""
+    key = frozenset(opts.items())
+    hit = _OPTION_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ok = False
+    try:
+        if jax.devices()[0].platform == "tpu":
+            jax.jit(lambda x: x + 1, compiler_options=dict(opts))(
+                jnp.zeros((), jnp.float32)
+            ).block_until_ready()
+            ok = True
+    except Exception as e:  # pragma: no cover - backend-build dependent
+        import warnings
+
+        warnings.warn(
+            f"XLA compiler options {dict(opts)} rejected by this backend "
+            f"({type(e).__name__}: {e}); train step falls back to default "
+            "compile options (PERFORMANCE.md 'Compiler resource envelope' "
+            "win not applied)."
+        )
+    _OPTION_PROBE_CACHE[key] = ok
+    return ok
 
 
 def make_eval_step(
@@ -247,12 +273,18 @@ def make_eval_step(
     mesh: Optional[Mesh] = None,
     target_stats: Optional[Mapping[str, tuple]] = None,
     params_sharding: Optional[Any] = None,
+    loss_dtype: Any = jnp.float32,
 ) -> Callable:
     """eval_step(params, images, targets) -> metrics (train_rvfm.py:159-192)."""
 
     def eval_step(params, images, targets):
         preds = model.apply({"params": params}, images)
-        losses = get_loss(preds, prepare_targets(targets, target_stats), target_loss_weights)
+        losses = get_loss(
+            preds,
+            prepare_targets(targets, target_stats, dtype=loss_dtype),
+            target_loss_weights,
+            compute_dtype=loss_dtype,
+        )
         main = main_loss_from_terms(losses, main_loss)
         return {
             "loss": main,
