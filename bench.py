@@ -1,15 +1,19 @@
 """Benchmark: distillation train-step throughput on the real TPU chip.
 
-Headline metric (BASELINE.json): images/sec/chip at the Theia-Tiny distill
-step (cddsv 5-teacher set, lconv translator, bf16 compute) with the 5k
-img/s/chip target as baseline. Extra fields report Theia-Base distill
-throughput and forward_feature p50 latency.
+Headline metric (BASELINE.json north star): images/sec/chip at the
+Theia-BASE distill step (cddsv 5-teacher set, lconv translator, bf16
+compute) against the 5k img/s/chip target. Extra fields report Theia-Tiny
+throughput, forward_feature latency (device-time AND wire), computed MFU,
+and a peak-bf16-FLOPs feasibility line for the 5k target.
 
 Timing method: the TPU here is attached over a network relay where
 block_until_ready returns before execution completes; only data readback
 truly synchronizes. Each measurement therefore chains N dependent steps,
 forces one scalar readback at the end, and reports (t_N - t_1)/(N - 1) so
-the relay round-trip cancels out.
+the relay round-trip cancels out. forward_feature device-time latency runs
+the chain INSIDE one XLA program (lax.fori_loop) so per-call dispatch never
+touches the relay; the separate wire p50 keeps the old per-dispatch chain
+and measures the attachment (drifts with relay health — see PERFORMANCE.md).
 
 Prints ONE JSON line to stdout.
 """
@@ -17,10 +21,28 @@ Prints ONE JSON line to stdout.
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
+
+# Peak dense bf16 FLOP/s per chip by device kind (public spec sheets).
+PEAK_BF16_FLOPS = {
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6": 918e12,  # trillium
+}
+
+
+def _peak_flops() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in PEAK_BF16_FLOPS.items():
+        if k in kind:
+            return v
+    return None
 
 
 def _timed_chain(run_n, n_long: int = 30, repeats: int = 3) -> list[float]:
@@ -46,6 +68,7 @@ def _median(vals: list[float]) -> float:
 
 
 def _bench_distill(backbone: str, batch_size: int):
+    """Returns (per-step seconds list, train-step FLOPs from XLA cost analysis)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +76,11 @@ def _bench_distill(backbone: str, batch_size: int):
     from theia_tpu.models.rvfm import Theia
     from theia_tpu.train.optim import constant_with_warmup, make_optimizer
     from theia_tpu.train.state import TrainState
-    from theia_tpu.train.step import make_train_step
+    from theia_tpu.train.step import (
+        DEFAULT_COMPILER_OPTIONS,
+        compiler_options_supported,
+        make_train_step,
+    )
 
     model = Theia(
         backbone=backbone,
@@ -79,20 +106,40 @@ def _bench_distill(backbone: str, batch_size: int):
     step = make_train_step(model, tx, main_loss="cos_l1")
     state = TrainState.create(params, tx)
 
+    # AOT-compile once (the same executable the wrapper would build) so the
+    # compiled handle also yields cost_analysis FLOPs for the MFU line.
+    lowered = step._jitted.lower(state, images, targets, None)
+    if compiler_options_supported(DEFAULT_COMPILER_OPTIONS):
+        compiled = lowered.compile(compiler_options=dict(DEFAULT_COMPILER_OPTIONS))
+    else:
+        compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis().get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+
     box = {"state": state}
 
     def run_n(n: int) -> float:
         t0 = time.perf_counter()
         for _ in range(n):
-            box["state"], metrics = step(box["state"], images, targets)
+            box["state"], metrics = compiled(box["state"], images, targets, None)
         float(metrics["loss"])  # forced readback syncs the chain
         return time.perf_counter() - t0
 
     dts = _timed_chain(run_n)
-    return dts
+    return dts, flops
 
 
 def _bench_forward_feature(backbone: str, batch_size: int = 1):
+    """Returns (wire-chain ms list, device-time ms list).
+
+    Wire chain: N host-dispatched calls, each data-dependent on the last —
+    on a relay-attached chip this rides the per-dispatch round-trip and so
+    tracks relay health (upper bound on latency; PERFORMANCE.md).
+    Device time: the same dependent chain run INSIDE one compiled program
+    via lax.fori_loop with a runtime trip count — one dispatch total, so
+    (t_K - t_1)/(K - 1) is pure device execution time per forward."""
     import jax
     import jax.numpy as jnp
 
@@ -120,33 +167,86 @@ def _bench_forward_feature(backbone: str, batch_size: int = 1):
         float(out.sum())
         return time.perf_counter() - t0
 
-    return [v * 1000 for v in _timed_chain(run_n, n_long=50)]  # ms
+    wire_ms = [v * 1000 for v in _timed_chain(run_n, n_long=50)]
+
+    @jax.jit
+    def chain(v, x, k):
+        def body(_, dep):
+            out = model.apply(v, x + dep, method=model.forward_feature)
+            return (out.reshape(-1)[0] * 0).astype(jnp.uint8)
+
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.uint8))
+
+    def run_k(k: int) -> float:
+        t0 = time.perf_counter()
+        float(chain(variables, images, k))
+        return time.perf_counter() - t0
+
+    run_k(2)  # warm/compile
+    dev_ms = []
+    for _ in range(3):
+        t1 = run_k(1)
+        tk = run_k(65)
+        dev_ms.append(max((tk - t1) / 64, 1e-9) * 1000)
+    return wire_ms, dev_ms
 
 
 def main() -> None:
-    tiny_dts = _bench_distill("facebook/deit-tiny-patch16-224", batch_size=256)
-    base_dts = _bench_distill("facebook/deit-base-patch16-224", batch_size=64)
-    ff_ms = _bench_forward_feature("facebook/deit-base-patch16-224")
+    base_dts, base_flops = _bench_distill("facebook/deit-base-patch16-224", batch_size=64)
+    tiny_dts, tiny_flops = _bench_distill("facebook/deit-tiny-patch16-224", batch_size=256)
+    ff_wire_ms, ff_dev_ms = _bench_forward_feature("facebook/deit-base-patch16-224")
 
     tiny_dt, base_dt = _median(tiny_dts), _median(base_dts)
     tiny_ips, base_ips = 256 / tiny_dt, 64 / base_dt
+    peak = _peak_flops()
+
+    extra = {
+        "repeats": len(base_dts),
+        "theia_base_step_ms_b64": round(base_dt * 1000, 2),
+        "theia_base_step_ms_min": round(min(base_dts) * 1000, 2),
+        "theia_base_step_ms_all": [round(v * 1000, 2) for v in base_dts],
+        "theia_tiny_images_per_sec": round(tiny_ips, 1),
+        "theia_tiny_step_ms_b256": round(tiny_dt * 1000, 2),
+        "theia_tiny_step_ms_min": round(min(tiny_dts) * 1000, 2),
+        "theia_tiny_step_ms_all": [round(v * 1000, 2) for v in tiny_dts],
+        "forward_feature_base_device_p50_ms": round(_median(ff_dev_ms), 3),
+        "forward_feature_base_device_ms_all": [round(v, 3) for v in ff_dev_ms],
+        "forward_feature_base_wire_p50_ms": round(_median(ff_wire_ms), 3),
+        "forward_feature_base_wire_ms_all": [round(v, 3) for v in ff_wire_ms],
+    }
+    # MFU + feasibility of the 5k img/s/chip north star at the measured
+    # train-step FLOPs (XLA cost analysis of the compiled executable).
+    if base_flops and peak:
+        fpi = base_flops / 64  # FLOPs per image, base train step
+        bound = peak / fpi     # img/s at 100% MFU
+        extra.update(
+            {
+                "base_train_gflops_per_img": round(fpi / 1e9, 1),
+                "base_mfu": round(base_ips * fpi / peak, 3),
+                "peak_bf16_tflops": round(peak / 1e12, 0),
+                "base_imgs_per_sec_at_100pct_mfu": round(bound, 0),
+                "north_star_feasibility": (
+                    f"5000 img/s needs {5000 * fpi / 1e12:.0f} TFLOP/s sustained vs "
+                    f"{peak / 1e12:.0f} TFLOP/s peak bf16 on this chip -> "
+                    + (
+                        "attainable"
+                        if bound >= 5000
+                        else f"UNATTAINABLE at any MFU; 100%-MFU bound is {bound:.0f} img/s"
+                    )
+                ),
+            }
+        )
+    if tiny_flops and peak:
+        tfpi = tiny_flops / 256
+        extra["tiny_train_gflops_per_img"] = round(tfpi / 1e9, 1)
+        extra["tiny_mfu"] = round(tiny_ips * tfpi / peak, 3)
+
     result = {
-        "metric": "images/sec/chip theia-tiny cddsv distill step (bf16)",
-        "value": round(tiny_ips, 1),
+        "metric": "images/sec/chip theia-base cddsv distill step (bf16)",
+        "value": round(base_ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(tiny_ips / 5000.0, 3),
-        "extra": {
-            "repeats": len(tiny_dts),
-            "theia_tiny_step_ms_b256": round(tiny_dt * 1000, 2),
-            "theia_tiny_step_ms_min": round(min(tiny_dts) * 1000, 2),
-            "theia_tiny_step_ms_all": [round(v * 1000, 2) for v in tiny_dts],
-            "theia_base_images_per_sec": round(base_ips, 1),
-            "theia_base_step_ms_b64": round(base_dt * 1000, 2),
-            "theia_base_step_ms_min": round(min(base_dts) * 1000, 2),
-            "theia_base_step_ms_all": [round(v * 1000, 2) for v in base_dts],
-            "forward_feature_base_p50_ms": round(_median(ff_ms), 3),
-            "forward_feature_base_ms_all": [round(v, 3) for v in ff_ms],
-        },
+        "vs_baseline": round(base_ips / 5000.0, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 
