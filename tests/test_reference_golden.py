@@ -156,3 +156,96 @@ def test_published_weights_if_available():
     AutoModel.from_pretrained(
         "theaiinstitute/theia-tiny-patch16-224-cdiv", trust_remote_code=True
     )
+
+
+PUBLISHED_FIXTURES = sorted(
+    (Path(__file__).parent / "fixtures").glob("published_*.npz")
+)
+
+
+@pytest.mark.parametrize(
+    "fx",
+    PUBLISHED_FIXTURES
+    or [
+        pytest.param(
+            None,
+            marks=pytest.mark.skip(
+                reason="no published-weight fixture stored; run "
+                "`python -m theia_tpu.scripts.verify_published` on a "
+                "networked machine and commit tests/fixtures/published_*.npz "
+                "(runbook in that script's docstring)"
+            ),
+        )
+    ],
+    ids=lambda p: p.stem if p else "absent",
+)
+def test_published_fixture_parity(fx):
+    """Parity vs the PUBLISHED hub weights, via the stored fixture written by
+    theia_tpu/scripts/verify_published.py (reference user flow:
+    /root/reference/README.md:23-38).
+
+    If the fixture stores the converted param tree (--store-params), our
+    outputs are RECOMPUTED here and asserted <1e-3 MSE against the stored
+    torch-reference outputs; otherwise the stored pair (ours vs reference,
+    both produced at extraction time from the real weights) is re-asserted.
+    """
+    stored = dict(np.load(fx, allow_pickle=False))
+    if "ref::forward_feature" not in stored:
+        pytest.skip(f"{fx.name}: extraction ran without a reference torch run")
+    ref_feat = stored["ref::forward_feature"].astype(np.float32)
+
+    param_keys = [k for k in stored if k.startswith("param::")]
+    if param_keys:
+        from theia_tpu.models.hub import parse_model_name
+        from theia_tpu.foundation.common import get_model_feature_size
+        from theia_tpu.models.rvfm import Theia
+
+        name = str(stored["model_name"])
+        backbone, teachers = parse_model_name(name)
+        model = Theia(
+            backbone=backbone,
+            translator="lconv",
+            target_feature_sizes={
+                t: get_model_feature_size(t, keep_spatial=True) for t in teachers
+            },
+        )
+        images = jnp.asarray(stored["images"])
+        import jax
+
+        params = model.init(jax.random.PRNGKey(0), images[:1])["params"]
+
+        def overlay(tree, prefix):
+            out = {}
+            for k, v in tree.items():
+                key = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    out[k] = overlay(v, key + "/")
+                else:
+                    out[k] = jnp.asarray(
+                        stored[f"param::{key}"].astype(np.float32), v.dtype
+                    )
+            return out
+
+        params = overlay(params, "")
+        feat = np.asarray(
+            model.apply({"params": params}, images, method=model.forward_feature),
+            np.float32,
+        )
+        preds = {
+            k: np.asarray(v, np.float32)
+            for k, v in model.apply({"params": params}, images).items()
+        }
+    else:
+        feat = stored["ours::forward_feature"].astype(np.float32)
+        preds = {
+            k.removeprefix("ours::pred::"): stored[k].astype(np.float32)
+            for k in stored
+            if k.startswith("ours::pred::")
+        }
+
+    assert float(np.mean((feat - ref_feat) ** 2)) < 1e-3
+    for k in stored:
+        if k.startswith("ref::pred::"):
+            t = k.removeprefix("ref::pred::")
+            mse = float(np.mean((preds[t] - stored[k].astype(np.float32)) ** 2))
+            assert mse < 1e-3, (t, mse)
