@@ -30,6 +30,12 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
+import jax
+
+# this container's sitecustomize registers the axon TPU backend and ignores
+# JAX_PLATFORMS; the config update is the only reliable way to force CPU
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 MESHES = [(8, 1), (4, 2), (2, 4)]
