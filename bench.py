@@ -109,7 +109,8 @@ def _bench_distill(backbone: str, batch_size: int):
     # AOT-compile once (the same executable the wrapper would build) so the
     # compiled handle also yields cost_analysis FLOPs for the MFU line.
     lowered = step._jitted.lower(state, images, targets, None)
-    if compiler_options_supported(DEFAULT_COMPILER_OPTIONS):
+    opts_applied = compiler_options_supported(DEFAULT_COMPILER_OPTIONS)
+    if opts_applied:
         compiled = lowered.compile(compiler_options=dict(DEFAULT_COMPILER_OPTIONS))
     else:
         compiled = lowered.compile()
@@ -128,7 +129,7 @@ def _bench_distill(backbone: str, batch_size: int):
         return time.perf_counter() - t0
 
     dts = _timed_chain(run_n)
-    return dts, flops
+    return dts, flops, opts_applied
 
 
 def _bench_forward_feature(backbone: str, batch_size: int = 1):
@@ -192,8 +193,12 @@ def _bench_forward_feature(backbone: str, batch_size: int = 1):
 
 
 def main() -> None:
-    base_dts, base_flops = _bench_distill("facebook/deit-base-patch16-224", batch_size=64)
-    tiny_dts, tiny_flops = _bench_distill("facebook/deit-tiny-patch16-224", batch_size=256)
+    base_dts, base_flops, opts_applied = _bench_distill(
+        "facebook/deit-base-patch16-224", batch_size=64
+    )
+    tiny_dts, tiny_flops, _ = _bench_distill(
+        "facebook/deit-tiny-patch16-224", batch_size=256
+    )
     ff_wire_ms, ff_dev_ms = _bench_forward_feature("facebook/deit-base-patch16-224")
 
     tiny_dt, base_dt = _median(tiny_dts), _median(base_dts)
@@ -213,6 +218,9 @@ def main() -> None:
         "forward_feature_base_device_ms_all": [round(v, 3) for v in ff_dev_ms],
         "forward_feature_base_wire_p50_ms": round(_median(ff_wire_ms), 3),
         "forward_feature_base_wire_ms_all": [round(v, 3) for v in ff_wire_ms],
+        # whether DEFAULT_COMPILER_OPTIONS were actually applied to the
+        # measured executables (False = backend rejected them / non-TPU)
+        "compiler_options_applied": bool(opts_applied),
     }
     # MFU + feasibility of the 5k img/s/chip north star at the measured
     # train-step FLOPs (XLA cost analysis of the compiled executable).

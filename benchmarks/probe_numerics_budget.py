@@ -79,7 +79,9 @@ def main() -> None:
                 main_loss="cos_l1",
                 loss_dtype=jnp.bfloat16 if loss_dt == "bf16" else jnp.float32,
             )
-            box = {"state": TrainState.create(params, tx)}
+            # the step donates its input state; fresh param copies per
+            # variant or the donated buffers would be deleted for the next
+            box = {"state": TrainState.create(jax.tree.map(jnp.array, params), tx)}
 
             def run_n(n: int) -> float:
                 t0 = time.perf_counter()

@@ -422,6 +422,7 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
                 flat["lr"] = float(schedule(steps))
                 flat["images_per_sec"] = images_seen / max(time.time() - t_start, 1e-9)
                 logger.log(flat, steps)
+                summary["train"] = flat
                 window_sum = None
                 window_steps = 0
                 window_images = 0
@@ -436,6 +437,23 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
                 # next steps' compute. orbax coordinates across hosts —
                 # every process must call save
                 ckpt_session.save(state, steps)
+
+        if window_sum is not None and window_steps > 0:
+            # flush the partial tail window so the returned summary always
+            # carries the last train-loss even on short runs (max_steps <
+            # log_interval)
+            fetched = jax.device_get(
+                jax.tree.map(lambda x: x / window_steps, window_sum)
+            )
+            flat = update_meters_from_metrics(
+                meters, fetched, target_model_names, "train", window_images
+            )
+            flat["lr"] = float(schedule(steps))
+            logger.log(flat, steps)
+            summary["train"] = flat
+            window_sum = None
+            window_steps = 0
+            window_images = 0
 
         # ---- eval epoch (reference train_rvfm.py:159-201) ----
         # keep partial tail batches in eval (an eval set smaller than one
