@@ -102,7 +102,13 @@ def _bench_distill(backbone: str, batch_size: int):
         for kk, (k, s) in zip(kt, CDDSV_TARGETS.items())
     }
     params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
-    tx = make_optimizer(constant_with_warmup(1e-3, 100), weight_decay=0.01)
+    # moment_dtype=bf16 is the production recipe default (frame_level.yaml):
+    # Adam moments stored bf16, update math f32 — measured +1.4% at base
+    # (round-4 probe_numerics_budget.py), param deltas track f32 to ~1%
+    tx = make_optimizer(
+        constant_with_warmup(1e-3, 100), weight_decay=0.01,
+        moment_dtype=jnp.bfloat16,
+    )
     step = make_train_step(model, tx, main_loss="cos_l1")
     state = TrainState.create(params, tx)
 
@@ -221,6 +227,8 @@ def main() -> None:
         # whether DEFAULT_COMPILER_OPTIONS were actually applied to the
         # measured executables (False = backend rejected them / non-TPU)
         "compiler_options_applied": bool(opts_applied),
+        # production-recipe numerics levers in effect (PERFORMANCE.md round 4)
+        "moment_dtype": "bfloat16",
     }
     # MFU + feasibility of the 5k img/s/chip north star at the measured
     # train-step FLOPs (XLA cost analysis of the compiled executable).

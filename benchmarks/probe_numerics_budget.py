@@ -22,12 +22,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# (loss_dtype, moment_dtype, ln_stats_dtype); baseline bracketed first/last
 VARIANTS = [
-    ("f32", "f32"),
-    ("bf16", "f32"),
-    ("f32", "bf16"),
-    ("bf16", "bf16"),
-    ("f32", "f32"),
+    ("f32", "f32", "f32"),
+    ("bf16", "f32", "f32"),
+    ("f32", "bf16", "f32"),
+    ("bf16", "bf16", "f32"),
+    ("f32", "f32", "f32"),
+]
+
+# LN-stats lever sweep, bracketed against the adopted moments=bf16 recipe
+LN_VARIANTS = [
+    ("f32", "bf16", "f32"),
+    ("f32", "bf16", "bf16"),
+    ("f32", "bf16", "f32"),
 ]
 
 
@@ -35,16 +43,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="tiny,base")
     ap.add_argument("--chain", type=int, default=30)
+    ap.add_argument("--ln", action="store_true",
+                    help="sweep LN_STATS_DTYPE against the moments=bf16 recipe")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import CDDSV_TARGETS
+    from theia_tpu.models import layers
     from theia_tpu.models.rvfm import Theia
     from theia_tpu.train.optim import constant_with_warmup, make_optimizer
     from theia_tpu.train.state import TrainState
     from theia_tpu.train.step import make_train_step
+
+    variants = LN_VARIANTS if args.ln else VARIANTS
 
     BATCH = {"tiny": 256, "base": 64}
 
@@ -67,7 +80,8 @@ def main() -> None:
         )
         params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
 
-        for loss_dt, mom_dt in VARIANTS:
+        for loss_dt, mom_dt, ln_dt in variants:
+            layers.LN_STATS_DTYPE = "bf16" if ln_dt == "bf16" else "f32"
             tx = make_optimizer(
                 constant_with_warmup(1e-3, 100),
                 weight_decay=0.01,
@@ -97,7 +111,7 @@ def main() -> None:
             print(
                 json.dumps(
                     {
-                        "variant": f"{size} loss={loss_dt} moments={mom_dt}",
+                        "variant": f"{size} loss={loss_dt} moments={mom_dt} ln={ln_dt}",
                         "step_ms": round(dt * 1000, 2),
                         "img_per_s": round(batch_size / dt, 1),
                     }

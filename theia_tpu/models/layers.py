@@ -34,6 +34,16 @@ except ImportError:  # pragma: no cover
 #   "dots_vjp" — vpu forward stats + custom backward phrasing all four LN
 #                gradient reductions as MXU dots (ops/ln_spatial.py)
 LN_STATS_IMPL = "vpu"
+
+# Accumulation dtype for the "vpu" stats reduces: "f32" (default, matches
+# torch's f32 LayerNorm math to reduce-order) or "bf16" (VERDICT r3 #1b
+# numerics-budget lever: mean/meansq accumulate in bf16 on bf16 inputs;
+# var then forms in f32 from the rounded stats). Measured on v5e
+# (benchmarks/probe_numerics_budget.py --ln round 4): NEUTRAL at both
+# sizes — the stats reduces read the same bf16 bytes either way and the
+# f32 accumulator converts fuse into the reduce, so there is no traffic
+# to save; kept opt-in for the record.
+LN_STATS_DTYPE = "f32"
 from theia_tpu.ops.init import (
     torch_conv_init,
     torch_conv_transpose_init,
@@ -228,6 +238,11 @@ class LayerNormSpatial(nn.Module):
             s2 = jnp.dot(x2d * x2d, ones, preferred_element_type=jnp.float32)
             mean = (s1 / n).reshape(b, 1, 1, 1)
             mean_sq = (s2 / n).reshape(b, 1, 1, 1)
+        elif LN_STATS_DTYPE == "bf16" and x.dtype == jnp.bfloat16:
+            # numerics-budget lever: accumulate the stats in bf16 (the input
+            # dtype); var still forms in f32 from the rounded stats
+            mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True).astype(jnp.float32)
+            mean_sq = jnp.mean(jnp.square(x), axis=(1, 2, 3), keepdims=True).astype(jnp.float32)
         else:
             mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
             mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)

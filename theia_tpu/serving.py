@@ -111,7 +111,19 @@ class Predictor:
             inner = fn
             fn = lambda p, x: jax.tree.map(lambda y: y.astype(out_dtype), inner(p, x))
         self._upcast = out_dtype is not None
-        self._fn = jax.jit(fn)
+        # apply the measured scoped-VMEM compiler win (PERFORMANCE.md
+        # "Compiler resource envelope") to serving compiles too: the
+        # full-forward program contains the same bandwidth-bound head-ladder
+        # fusions as the train step; probed once, plain jit off-TPU
+        from theia_tpu.train.step import (
+            DEFAULT_COMPILER_OPTIONS,
+            compiler_options_supported,
+        )
+
+        if DEFAULT_COMPILER_OPTIONS and compiler_options_supported(DEFAULT_COMPILER_OPTIONS):
+            self._fn = jax.jit(fn, compiler_options=dict(DEFAULT_COMPILER_OPTIONS))
+        else:
+            self._fn = jax.jit(fn)
 
     def _bucket(self, n: int) -> int:
         for b in self._buckets:

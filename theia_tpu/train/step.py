@@ -296,9 +296,16 @@ def make_eval_step(
             "l1_losses_per_model": losses["l1_losses_per_model"],
         }
 
+    # the eval program contains the same bandwidth-bound head-ladder fusions
+    # as the train step; apply the measured scoped-VMEM win when accepted
+    opt_kw: dict[str, Any] = {}
+    if DEFAULT_COMPILER_OPTIONS and compiler_options_supported(DEFAULT_COMPILER_OPTIONS):
+        opt_kw["compiler_options"] = dict(DEFAULT_COMPILER_OPTIONS)
     if mesh is None:
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, **opt_kw)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     psh = params_sharding if params_sharding is not None else repl
-    return jax.jit(eval_step, in_shardings=(psh, data, data), out_shardings=repl)
+    return jax.jit(
+        eval_step, in_shardings=(psh, data, data), out_shardings=repl, **opt_kw
+    )
