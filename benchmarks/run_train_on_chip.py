@@ -123,7 +123,12 @@ def main() -> None:
         for k, s in CDDSV.items()
     }
     params = model.init(jax.random.PRNGKey(0), images[:2])["params"]
-    tx = make_optimizer(constant_with_warmup(1e-3, 100), weight_decay=0.01)
+    # production recipe (frame_level.yaml): bf16-stored Adam moments, same
+    # as the config-driven loop above now uses by default
+    tx = make_optimizer(
+        constant_with_warmup(1e-3, 100), weight_decay=0.01,
+        moment_dtype=jnp.bfloat16,
+    )
     step = make_train_step(model, tx, main_loss="cos_l1")
     state = TrainState.create(params, tx)
 
