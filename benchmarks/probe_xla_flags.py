@@ -45,10 +45,34 @@ CANDIDATES: list[dict[str, str]] = [
     {},
 ]
 
+# Round-4 second sweep: each candidate layered ON TOP of the adopted
+# production option (scoped VMEM 32 MB) so deltas are vs the shipping
+# recipe. Names are public single-chip TPU fusion/scheduling knobs (seen
+# in public MaxText/JetStream perf configs); an option unknown to this
+# backend build is rejected at compile time and logged, not fatal.
+_ADOPTED = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+EXTRA_CANDIDATES: list[dict[str, str]] = [
+    dict(_ADOPTED),
+    {**_ADOPTED, "xla_tpu_enable_experimental_fusion_cost_model": "true"},
+    {**_ADOPTED, "xla_tpu_dot_dot_fusion_duplicated": "true"},
+    {**_ADOPTED, "xla_tpu_enable_aggressive_broadcast_priority_update": "true"},
+    {**_ADOPTED, "xla_tpu_rwb_fusion": "false"},
+    {**_ADOPTED, "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"},
+    {**_ADOPTED, "xla_tpu_enable_multi_level_nested_loop_fusion": "true"},
+    {**_ADOPTED, "xla_tpu_licm_size_inflation_ratio": "2"},
+    dict(_ADOPTED),
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="tiny,base")
+    ap.add_argument(
+        "--extra",
+        action="store_true",
+        help="sweep EXTRA_CANDIDATES (fusion/scheduler knobs layered on the "
+        "adopted scoped-VMEM 32MB option; baseline bracketed first/last)",
+    )
     ap.add_argument(
         "--vmem",
         default=None,
@@ -57,6 +81,8 @@ def main() -> None:
     )
     args = ap.parse_args()
     global CANDIDATES
+    if args.extra:
+        CANDIDATES = EXTRA_CANDIDATES
     if args.vmem:
         CANDIDATES = (
             [{}]
