@@ -67,13 +67,14 @@ EXTRA_CANDIDATES: list[dict[str, str]] = [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="tiny,base")
-    ap.add_argument(
+    sweep = ap.add_mutually_exclusive_group()
+    sweep.add_argument(
         "--extra",
         action="store_true",
         help="sweep EXTRA_CANDIDATES (fusion/scheduler knobs layered on the "
         "adopted scoped-VMEM 32MB option; baseline bracketed first/last)",
     )
-    ap.add_argument(
+    sweep.add_argument(
         "--vmem",
         default=None,
         help="comma-separated xla_tpu_scoped_vmem_limit_kib values to sweep "
