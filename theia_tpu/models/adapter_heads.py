@@ -38,6 +38,60 @@ Size = tuple[int, ...]
 # layouts) and the token-major dot (round-2 trace: ~3.8 ms/step).
 HEAD_DENSE_IMPL = "tokens"
 
+# Numerics-preserving internal padding of the 16->64 ladder's 31x31
+# intermediate to 32x32 (the ladder analogue of vit.TOKEN_PAD_MULTIPLE;
+# round-3 base trace shows the [.,31,31,.] LN-grad/convT co-fusions at
+# 133-250 GB/s vs the ~819 GB/s roofline — the hypothesis was the odd 31
+# spatial dim tiles badly). Measured NEGATIVE at both sizes
+# (benchmarks/probe_ladder_pad.py A/B/A, 2026-08-20: base 141.6 -> 144.6 /
+# 142.7 ms, tiny 89.3 -> 91.6 / 91.2 ms for pre_convt2 / full; brackets
+# 0.06% / 0.3%): XLA's internal lane/sublane padding of the 31-dims is
+# already cheaper than carrying explicit pads through the program. Kept
+# opt-in; exactness bounded in tests/test_r5_levers.py. → don't-retry.
+#   "none"       — reference geometry (default).
+#   "pre_convt2" — zero-pad AFTER the 31x31 LayerNorm, so only the second
+#                  deconv (and its VJP) runs at 32x32. Bitwise exact: the
+#                  pad rows are zero, every extra MAC is a zero product, and
+#                  output rows >=64 are sliced off (their cotangents are
+#                  zero, so dW is untouched).
+#   "full"       — zero-pad BEFORE the relu, so relu, the LayerNorm and the
+#                  deconv all run at 32x32. The LN divides by the real count
+#                  (961) and its padded affine is zero on pads, so pad
+#                  outputs are exactly 0; stats match the 31x31 LN up to
+#                  reduction order (f32 accumulation, ~1e-7 relative).
+LADDER_PAD = "none"
+
+
+class _LNSpatialMasked(nn.Module):
+    """LayerNormSpatial((C, h, w)) evaluated on a zero-padded [B, hp, wp, C]
+    map (LADDER_PAD="full"): the pads are exactly zero on input, so sums over
+    the padded map equal sums over the real region; stats divide by the real
+    count, and the affine weight/bias are zero-padded so pad outputs are
+    exactly 0 ((0 - mean)*scale*0 + 0). Param tree identical to
+    LayerNormSpatial((C, h, w)) — checkpoints convert unchanged."""
+
+    shape_chw: tuple[int, int, int]
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c, h, w = self.shape_chw
+        hp, wp = x.shape[1], x.shape[2]
+        weight = self.param("weight", nn.initializers.ones, (c, h, w), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c, h, w), jnp.float32)
+        n = c * h * w
+        s1 = jnp.sum(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        scale = jax.lax.rsqrt(var + self.eps).astype(self.dtype)
+        shift = mean.astype(self.dtype)
+        pad_hw = ((0, hp - h), (0, wp - w), (0, 0))
+        w_p = jnp.pad(weight.transpose(1, 2, 0), pad_hw).astype(self.dtype)
+        b_p = jnp.pad(bias.transpose(1, 2, 0), pad_hw).astype(self.dtype)
+        return ((x.astype(self.dtype) - shift) * scale) * w_p + b_p
+
 
 def _final_dense(x: jax.Array, c_t: int, hidden: int, dtype: Any, name: str) -> jax.Array:
     if HEAD_DENSE_IMPL == "map_einsum":
@@ -221,9 +275,19 @@ class LightConvAdapterHead(nn.Module):
         if s_s == 16 and s_t == 64:
             x = ln(c_s, 16, "adapter_0")(x)
             x = ConvTranspose2dTorch(hidden, c_s, 3, stride=2, padding=1, dtype=self.dtype, name="adapter_1")(x)  # 31
+            pad32 = ((0, 0), (0, 1), (0, 1), (0, 0))
+            if LADDER_PAD == "full":
+                x = jnp.pad(x, pad32)  # zero pads survive the relu
             x = jax.nn.relu(x)
-            x = ln(hidden, 31, "adapter_3")(x)
-            x = ConvTranspose2dTorch(hidden, hidden, 3, stride=2, output_padding=1, dtype=self.dtype, name="adapter_4")(x)  # 64
+            if LADDER_PAD == "full":
+                x = _LNSpatialMasked((hidden, 31, 31), dtype=self.dtype, name="adapter_3")(x)
+            else:
+                x = ln(hidden, 31, "adapter_3")(x)
+                if LADDER_PAD == "pre_convt2":
+                    x = jnp.pad(x, pad32)  # bitwise: pads only add 0-products
+            x = ConvTranspose2dTorch(hidden, hidden, 3, stride=2, output_padding=1, dtype=self.dtype, name="adapter_4")(x)  # 64 (66 when padded)
+            if LADDER_PAD != "none":
+                x = x[:, :64, :64]
             x = jax.nn.relu(x)
             x = ln(hidden, 64, "adapter_6")(x)
             x = _final_dense(x, c_t, hidden, self.dtype, "adapter_8")

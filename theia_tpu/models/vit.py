@@ -72,6 +72,19 @@ def _fused_resize_patch_matrix(
 # the projection einsum. Measured on TPU v5e (benchmarks/
 # probe_tiny_variants.py, tiny cddsv B=256): bhqd_fused 96.4 ms vs bqhd
 # 97.3 ms — the transpose-back copy never materializes; default on.
+# Round-5 probe layouts (benchmarks/probe_attn_repack.py), both numerically
+# identical to bhqd_fused (tests/test_r5_levers.py):
+#   "merged_batch" — (b, h) merged into one batch dim for the score/context
+#     matmuls. Measured NEUTRAL at base (141.6 vs 141.6/141.7 ms bracket —
+#     XLA already lowers the nested batch dims to the same batched gemm) and
+#     -2.5% at tiny (the explicit transposes materialize there).
+#   "dpad128" — q/k/v zero-padded from head_dim 64 to 128 to fill the MXU's
+#     128-lane contraction depth (zero products keep scores bitwise).
+#     Measured NEGATIVE both sizes (base +5.2%, tiny +5.5% step time): the
+#     2x score FLOPs buy no tiling win — d=64 was not the bottleneck.
+# Both kept opt-in as the measured record (2026-08-20); with round 1's
+# neutral single-block Pallas MHA and round 3's refuted token padding, base
+# attention stands measured at XLA's floor.
 ATTN_LAYOUT = "bhqd_fused"
 
 # Masked token padding to a tile multiple: 197 tokens (1 CLS + 196 patches)
@@ -227,6 +240,31 @@ class _TransformerBlock(nn.Module):
                 )
                 probs = jax.nn.softmax(masked(scores.astype(self.dtype)) / math.sqrt(hd), axis=-1)
                 x = x + proj_out_bhqd(jnp.einsum("bhqk,bkhd->bhqd", probs, v))
+            elif cfg.fast_math and ATTN_LAYOUT == "merged_batch":
+                # (b, h) merged into one batch dim: bitwise-identical matmuls,
+                # but XLA tiles ONE b*h-deep batched gemm
+                qm = q.transpose(0, 2, 1, 3).reshape(b * nh, t, hd)
+                km = k.transpose(0, 2, 1, 3).reshape(b * nh, t, hd)
+                vm = v.transpose(0, 2, 1, 3).reshape(b * nh, t, hd)
+                scores = jnp.einsum(
+                    "xqd,xkd->xqk", qm, km, preferred_element_type=self.dtype
+                ).reshape(b, nh, t, t)
+                probs = jax.nn.softmax(masked(scores.astype(self.dtype)) / math.sqrt(hd), axis=-1)
+                ctx = jnp.einsum("xqk,xkd->xqd", probs.reshape(b * nh, t, t), vm)
+                x = x + proj_out_bhqd(ctx.reshape(b, nh, t, hd))
+            elif cfg.fast_math and ATTN_LAYOUT == "dpad128":
+                # zero-pad head_dim to the MXU's 128-lane depth: the extra
+                # contraction lanes are zero products (scores bitwise equal),
+                # the context pad columns are exactly zero and sliced off
+                dp = max(0, 128 - hd)
+                pad_d = ((0, 0), (0, 0), (0, 0), (0, dp))
+                qp, kp, vp = (jnp.pad(y, pad_d) for y in (q, k, v))
+                scores = jnp.einsum(
+                    "bqhd,bkhd->bhqk", qp, kp, preferred_element_type=self.dtype
+                )
+                probs = jax.nn.softmax(masked(scores.astype(self.dtype)) / math.sqrt(hd), axis=-1)
+                ctx = jnp.einsum("bhqk,bkhd->bhqd", probs, vp)[..., :hd]
+                x = x + proj_out_bhqd(ctx)
             elif cfg.fast_math:
                 scores = jnp.einsum(
                     "bqhd,bkhd->bhqk", q, k, preferred_element_type=self.dtype
