@@ -380,3 +380,50 @@ def test_train_step_loss_dtype_bf16(tiny_theia):
     for _ in range(5):
         st, m = step16(st, imgs, targets)
     assert float(m["loss"]) < prev
+
+
+@pytest.mark.slow
+def test_bf16_grad_allreduce_tracks_f32(tiny_theia):
+    """grad_allreduce_dtype=bfloat16 must (a) put EXACTLY ONE bf16 bucket
+    all-reduce of n_params elements on the wire — no residual f32 grad
+    all-reduces (shard_map's autodiff auto-psum is disabled; the DDP-bucket
+    analogue halves the reference's 4 B/param NCCL traffic,
+    train_rvfm.py:258) — and (b) keep the loss trajectory on the f32-wire
+    trajectory over 100 steps (VERDICT r4 #5).
+
+    The wire-dtype assertion reads the LOWERED program: the bf16 operand
+    dtype is what a bf16-native interconnect (TPU ICI) moves. XLA:CPU's
+    AllReducePromotion then rewrites it to convert->f32-all-reduce->convert
+    in the backend, so the CPU-compiled HLO cannot show the halving."""
+    import re
+
+    model, params = tiny_theia
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    imgs, targets = _batch(8)
+    sharded = shard_batch(mesh, (imgs, targets))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    trajs = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        tx = make_optimizer(1e-3, weight_decay=0.01)
+        step = make_train_step(
+            model, tx, mesh=mesh, donate=False, grad_allreduce_dtype=dt
+        )
+        if dt is not None:
+            txt = step._jitted.lower(TrainState.create(params, tx), *sharded, None).as_text()
+            ar_types = re.findall(r"\}\) : \(tensor<([^>]+)>\) -> tensor<[^>]+>", txt)
+            big = [t for t in ar_types if not t.startswith("f32") and "x" in t]
+            assert big == [f"{n_params}xbf16"], (big, n_params)
+            # everything else on the wire is scalar metrics pmeans
+            assert all(t == "f32" for t in ar_types if t not in big), ar_types
+        s = TrainState.create(params, tx)
+        losses = []
+        for _ in range(100):
+            s, m = step(s, *sharded)
+            losses.append(float(m["loss"]))
+        trajs[name] = np.asarray(losses)
+
+    # (b) trajectory parity: same descent, point-wise within a few percent
+    np.testing.assert_allclose(trajs["bf16"], trajs["f32"], rtol=5e-2, atol=1e-3)
+    assert trajs["bf16"][-1] < trajs["bf16"][0]
+    assert trajs["f32"][-1] < trajs["f32"][0]

@@ -311,6 +311,15 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         target_stats=target_stats,
         state_shardings=state_shardings,
         loss_dtype=loss_dtype,
+        # donate_state=false (production default, frame_level.yaml) trades
+        # ~2x state memory for skipping donation's aliasing copies —
+        # measured +0.7% at base (PERFORMANCE.md round 5, probe_donation.py)
+        donate=bool(cfg.training.get("donate_state", True)),
+        grad_allreduce_dtype=(
+            jnp.bfloat16
+            if cfg.training.get("grad_allreduce_dtype", None) == "bfloat16"
+            else None
+        ),
     )
     eval_step = make_eval_step(
         model,

@@ -89,6 +89,7 @@ def make_train_step(
     state_shardings: Optional[Any] = None,
     compiler_options: Optional[Mapping[str, str]] = None,
     loss_dtype: Any = jnp.float32,
+    grad_allreduce_dtype: Any = None,
 ) -> Callable:
     """Build train_step(state, images, targets, loss_masks=None) -> (state, metrics).
 
@@ -104,6 +105,18 @@ def make_train_step(
     ``DEFAULT_COMPILER_OPTIONS`` (measured win on TPU); ``{}`` disables.
     Only applied when the backend is TPU and accepts them (probed once with
     a trivial compile, warning on rejection); otherwise plain ``jax.jit``.
+
+    ``grad_allreduce_dtype``: dtype for the cross-chip DP gradient
+    all-reduce (e.g. ``jnp.bfloat16``). The reference's DDP all-reduces f32
+    gradients (train_rvfm.py:258 via NCCL) — ~4 bytes/param/step of ICI
+    traffic; a bf16 wire halves it at zero single-chip cost. When set (and
+    the mesh is pure DP with a >1 "data" axis; TP meshes warn and keep
+    f32), the grad computation runs under a fully-manual shard_map: each
+    shard's f32 local grads are pre-scaled by 1/n_data, cast, psum'd over
+    "data" on the bf16 wire, and upcast to f32 BEFORE grad-clip/optimizer —
+    so all update math stays f32 (convergence parity bounded in
+    tests/test_train_step.py::test_bf16_grad_allreduce_tracks_f32).
+    ``None`` (default) keeps the partitioner's f32 all-reduce.
     """
 
     def loss_fn(params, images, targets, loss_masks):
@@ -117,8 +130,75 @@ def make_train_step(
         main = main_loss_from_terms(losses, main_loss)
         return main, losses
 
+    use_bf16_sync = (
+        grad_allreduce_dtype is not None
+        and mesh is not None
+        and mesh.shape.get("data", 1) > 1
+    )
+    if use_bf16_sync and mesh.shape.get("model", 1) > 1:
+        # the bf16 wire targets the DP grad sync (the reference's only
+        # multi-chip traffic); under TP the grad computation would need
+        # manual model-axis collectives inside the shard_map — unsupported,
+        # fall back to the partitioner's f32 all-reduce with one warning
+        import warnings
+
+        warnings.warn(
+            "grad_allreduce_dtype is only supported on pure-DP meshes "
+            f"(model axis is {mesh.shape['model']}); keeping f32 gradient "
+            "all-reduce."
+        )
+        use_bf16_sync = False
+
+    def grads_and_metrics(params, images, targets, loss_masks):
+        if not use_bf16_sync:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, targets, loss_masks
+            )
+        nd = mesh.shape["data"]
+
+        def local(params, images, targets, loss_masks):
+            (main, losses), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, targets, loss_masks
+            )
+            # pre-scale by 1/n_data in f32 (the DP mean), cast, and BUCKET:
+            # one flat bf16 all-reduce for the whole grad tree (the analogue
+            # of DDP's NCCL bucketing) — one wire transfer of 2 bytes/param
+            # instead of one small collective per leaf. The concat/split
+            # copies are ~2 bytes/param of HBM traffic, noise next to the
+            # step's activation streams.
+            from jax.flatten_util import ravel_pytree
+
+            flat, unravel = ravel_pytree(
+                jax.tree.map(lambda x: (x / nd).astype(grad_allreduce_dtype), g)
+            )
+            g = unravel(jax.lax.psum(flat, "data"))
+            g = jax.tree.map(lambda x: x.astype(jnp.float32), g)
+            main = jax.lax.pmean(main, "data")
+            losses = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), losses)
+            return (main, losses), g
+
+        # fully-manual shard_map (every mesh axis; "model" is size 1 here).
+        # NOT the axis_names={"data"} partial-manual form: that lowers the
+        # psum to a channel all-reduce that crashes XLA:CPU's
+        # AllReducePromotion pass on bf16 operands (jax 0.9, "Invalid binary
+        # instruction opcode copy") — the CPU-mesh tests would die.
+        # check_vma=False is LOAD-BEARING: with it on, shard_map's autodiff
+        # auto-psums the cotangent of every replicated param in f32 — the
+        # exact wire this flag exists to shrink — and the bf16 bucket would
+        # re-reduce an already-synced tensor (verified in the lowered HLO:
+        # dozens of param-shaped f32 all-reduces). With it off, the explicit
+        # bucket psum below is the ONLY gradient sync in the program.
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=((P(), P()), P()),
+            check_vma=False,
+        )
+        return fn(params, images, targets, loss_masks)
+
     def train_step(state: TrainState, images, targets, loss_masks=None):
-        (main, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (main, losses), grads = grads_and_metrics(
             state.params, images, targets, loss_masks
         )
         metrics = {"loss": main, **{k: losses[k] for k in ("mse_loss", "cos_loss", "l1_loss")}}
