@@ -129,3 +129,68 @@ def test_load_reference_checkpoint(tmp_path):
         assert out["teacher/a"].shape == (1, 256, 24)
     finally:
         jvit.BACKBONE_CONFIGS[name] = orig
+
+
+def test_decode_everything_gt_inline(monkeypatch):
+    """decode_everything(gt=True) must run the GT teachers on the input
+    frames and return a second panel row with the same geometry as the
+    predicted row (reference decode.py:126-196). Teacher stand-ins emit the
+    real output layouts ([B,C,16,16] dino / [B,256,64,64] sam / [B,32,518,518]
+    depth) so run_gt_teachers' rearranges are exercised; the foundation
+    modules themselves have their own HF-parity tests."""
+    import theia_tpu.foundation.extraction as extraction
+    from theia_tpu.decoding import decode_everything
+    from theia_tpu.decoding.sam import prepare_mask_generator
+
+    rng = np.random.RandomState(4)
+    sizes = {
+        "facebook/dinov2-large": (64, 256),
+        "facebook/sam-vit-huge": (256, 4096),
+        "LiheYoung/depth-anything-large-hf": (32, 4096),
+    }
+
+    def theia_forward(images):
+        b = images.shape[0]
+        return {k: rng.randn(b, n, c).astype(np.float32) for k, (c, n) in sizes.items()}
+
+    def fake_get_model(name, hf_model=None, dtype=jnp.float32):
+        if "dinov2" in name:
+            # spatially-varying features so the PCA foreground split is
+            # non-degenerate
+            grid = jnp.sin(jnp.arange(64 * 16 * 16, dtype=jnp.float32)).reshape(
+                1, 64, 16, 16
+            )
+            fn = lambda m, p, x: (
+                jnp.zeros((x.shape[0], 1, 64)),
+                jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3), keepdims=True) * 0.01
+                + grid + p["seed"],
+                jnp.zeros((x.shape[0], 1, 64)),
+            )
+        elif "sam" in name:
+            fn = lambda m, p, x: (
+                jnp.ones((x.shape[0], 256, 64, 64)) * 0.1 + p["seed"], None
+            )
+        else:  # depth-anything
+            fn = lambda m, p, x: jnp.ones((x.shape[0], 32, 518, 518)) * 0.2 + p["seed"]
+        return object(), None, fn
+
+    monkeypatch.setattr(extraction, "get_model", fake_get_model)
+
+    means = {k: np.zeros(c, np.float32) for k, (c, _) in sizes.items()}
+    stds = {k: np.ones(c, np.float32) for k, (c, _) in sizes.items()}
+    gen, _ = prepare_mask_generator()
+    gen.points_per_side = 2
+    decoder = {
+        "conv3_kernel": rng.randn(1, 1, 32, 1).astype(np.float32) * 0.1,
+        "conv3_bias": np.zeros(1, np.float32),
+    }
+    images = rng.randint(0, 256, (2, 224, 224, 3), np.uint8)
+    params = {k: {"seed": jnp.float32(0.01)} for k in sizes}
+    results, gt = decode_everything(
+        theia_forward, means, stds, images, gen, decoder,
+        gt=True, gt_teacher_params=params,
+    )
+    assert gt is not None and len(gt) == len(results) == 2
+    assert results[0].shape == gt[0].shape == (224, 4 * 224, 3)
+    stacked = np.vstack([results[0], gt[0]])
+    assert stacked.shape == (448, 4 * 224, 3)

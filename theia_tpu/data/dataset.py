@@ -518,6 +518,7 @@ def get_frame_dataloader(
     drop_last: bool = True,
     num_workers: int = 0,
     worker_ordered: bool = True,
+    worker_transport: str = "queue",
     **kwargs: Any,
 ) -> Iterable[dict[str, Any]]:
     """Batched loader with shuffle-after-mix buffer (data_utils.py:531-556).
@@ -526,12 +527,15 @@ def get_frame_dataloader(
     analogue of wds.WebLoader(num_workers=...); see data/parallel_loader.py).
     ``worker_ordered=False`` merges worker samples as-completed (no
     head-of-line blocking on a straggler worker; order nondeterministic).
+    ``worker_transport="shm"`` moves sample arrays through a per-worker
+    shared-memory ring instead of pickling them through the queue pipe.
     """
     if num_workers > 0:
         from theia_tpu.data.parallel_loader import ParallelSampleSource
 
         dataset = ParallelSampleSource(
-            dataset, num_workers=num_workers, ordered=worker_ordered
+            dataset, num_workers=num_workers, ordered=worker_ordered,
+            transport=worker_transport,
         )
     source: Iterable = dataset
     if shuffle:

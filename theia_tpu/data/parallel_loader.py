@@ -30,20 +30,74 @@ import multiprocessing as mp
 import pickle
 from typing import Any, Iterable, Iterator
 
+import numpy as np
+
 _SENTINEL = ("__done__", None)
 _ERROR = "__error__"
 
 
-def _worker_main(dataset: Any, q: Any) -> None:
+def _flatten_arrays(sample: Any, prefix: tuple = ()) -> tuple[list, Any]:
+    """Split a (possibly nested-dict) sample into [(path, np.ndarray)] plus
+    a skeleton with arrays replaced by None (non-array leaves stay inline)."""
+    if isinstance(sample, dict):
+        arrays: list = []
+        skel = {}
+        for k, v in sample.items():
+            sub_arrays, sub_skel = _flatten_arrays(v, prefix + (k,))
+            arrays.extend(sub_arrays)
+            skel[k] = sub_skel
+        return arrays, skel
+    if isinstance(sample, np.ndarray):
+        return [(prefix, sample)], None
+    return [], sample
+
+
+def _set_path(skel: Any, path: tuple, value: Any) -> None:
+    node = skel
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = value
+
+
+def _worker_main(dataset: Any, q: Any, shm_name: str | None = None,
+                 slot_bytes: int = 0, free_q: Any = None, widx: int = 0) -> None:
+    """Decode loop. With shm transport, each sample's arrays are memcpy'd
+    into a free ring slot and only a small descriptor crosses the queue —
+    no pickling of the megabyte payloads (VERDICT r4 #6: the queue path
+    serializes ~4.2 MB/sample through a pipe in 64 KB chunks)."""
+    shm = None
     try:
+        if shm_name is not None:
+            from multiprocessing import shared_memory
+
+            shm = shared_memory.SharedMemory(name=shm_name)
         for sample in dataset:
-            q.put(("sample", sample))
+            if shm is None:
+                q.put(("sample", sample))
+                continue
+            arrays, skel = _flatten_arrays(sample)
+            total = sum(a.nbytes for _, a in arrays)
+            if total > slot_bytes:  # oversized sample: classic pickle path
+                q.put(("sample", sample))
+                continue
+            slot = free_q.get()  # blocks until the parent frees a slot
+            base = slot * slot_bytes
+            metas = []
+            off = 0
+            for path, a in arrays:
+                a = np.ascontiguousarray(a)
+                shm.buf[base + off : base + off + a.nbytes] = a.view(np.uint8).reshape(-1).data
+                metas.append((path, a.dtype, a.shape, off))
+                off += a.nbytes
+            q.put(("shm", (widx, (slot, metas, skel))))
     except BaseException as e:  # surface the traceback text in the parent
         import traceback
 
         q.put((_ERROR, f"{e!r}\n{traceback.format_exc()}"))
     finally:
         q.put(_SENTINEL)
+        if shm is not None:
+            shm.close()
 
 
 class ParallelSampleSource:
@@ -62,6 +116,8 @@ class ParallelSampleSource:
         queue_depth: int = 16,
         mp_context: str = "forkserver",
         ordered: bool = True,
+        transport: str = "queue",
+        slot_bytes: int = 8 << 20,
     ) -> None:
         if num_workers <= 0:
             raise ValueError("num_workers must be positive")
@@ -70,6 +126,8 @@ class ParallelSampleSource:
                 f"{type(dataset).__name__} does not support worker splitting "
                 "(needs .split(n)); use num_workers=0"
             )
+        if transport not in ("queue", "shm"):
+            raise ValueError(f"transport must be 'queue' or 'shm', got {transport!r}")
         self.dataset = dataset
         self.num_workers = num_workers
         self.queue_depth = queue_depth
@@ -81,6 +139,15 @@ class ParallelSampleSource:
         # as-completed — no stalls, same sample SET, order nondeterministic
         # across runs (shuffle-buffer consumers don't care).
         self.ordered = ordered
+        # transport="shm": per-worker shared-memory ring (queue_depth slots
+        # of slot_bytes); workers memcpy sample arrays into a free slot and
+        # only a tiny descriptor crosses the queue — removes the per-sample
+        # pickle + 64 KB-chunked pipe copies of the queue path (cddsv
+        # samples are ~4.2 MB). Samples larger than slot_bytes fall back to
+        # the pickle path transparently. Dict-of-ndarray samples ride the
+        # ring; non-array leaves travel inline in the descriptor.
+        self.transport = transport
+        self.slot_bytes = slot_bytes
 
     def __iter__(self) -> Iterator[Any]:
         import sys
@@ -99,9 +166,46 @@ class ParallelSampleSource:
         else:
             shared = ctx.Queue(maxsize=self.queue_depth * len(parts))
             queues = [shared] * len(parts)
+
+        shms: list[Any] = [None] * len(parts)
+        free_qs: list[Any] = [None] * len(parts)
+        if self.transport == "shm":
+            from multiprocessing import shared_memory
+
+            for i in range(len(parts)):
+                shms[i] = shared_memory.SharedMemory(
+                    create=True, size=self.queue_depth * self.slot_bytes
+                )
+                free_qs[i] = ctx.Queue()
+                for s in range(self.queue_depth):
+                    free_qs[i].put(s)
+
+        def materialize(widx: int, payload: Any) -> Any:
+            slot, metas, skel = payload
+            base = slot * self.slot_bytes
+            sample = skel
+            for path, dtype, shape, off in metas:
+                arr = np.ndarray(
+                    shape, dtype, buffer=shms[widx].buf, offset=base + off
+                ).copy()
+                if path == ():
+                    sample = arr
+                else:
+                    _set_path(sample, path, arr)
+            free_qs[widx].put(slot)  # slot reusable once copied out
+            return sample
+
         procs = [
-            ctx.Process(target=_worker_main, args=(part, q), daemon=True)
-            for part, q in zip(parts, queues)
+            ctx.Process(
+                target=_worker_main,
+                args=(
+                    part, q,
+                    shms[i].name if shms[i] is not None else None,
+                    self.slot_bytes, free_qs[i], i,
+                ),
+                daemon=True,
+            )
+            for i, (part, q) in enumerate(zip(parts, queues))
         ]
         for p in procs:
             p.start()
@@ -115,6 +219,9 @@ class ParallelSampleSource:
                         if kind == "sample":
                             yield payload
                             next_live.append(i)
+                        elif kind == "shm":
+                            yield materialize(payload[0], payload[1])
+                            next_live.append(i)
                         elif kind == _ERROR:
                             raise RuntimeError(f"loader worker {i} failed:\n{payload}")
                         # sentinel: drop worker i from the rotation
@@ -125,6 +232,10 @@ class ParallelSampleSource:
                     kind, payload = shared.get()
                     if kind == "sample":
                         yield payload
+                    elif kind == "shm":
+                        # the shared sample queue interleaves workers, so the
+                        # descriptor carries its worker index
+                        yield materialize(payload[0], payload[1])
                     elif kind == _ERROR:
                         raise RuntimeError(f"loader worker failed:\n{payload}")
                     else:  # sentinel
@@ -135,6 +246,13 @@ class ParallelSampleSource:
                     p.terminate()
             for p in procs:
                 p.join(timeout=5)
+            for s in shms:
+                if s is not None:
+                    s.close()
+                    try:
+                        s.unlink()
+                    except FileNotFoundError:
+                        pass
 
 
 def measure_loader_throughput(

@@ -42,6 +42,57 @@ def load_feature_stats(
     return means, stds
 
 
+def run_gt_teachers(
+    images: np.ndarray,
+    hf_models: Optional[dict[str, Any]] = None,
+    teacher_params: Optional[dict[str, Any]] = None,
+    batch_size: int = 8,
+) -> dict[str, np.ndarray]:
+    """Run the ported JAX teachers (foundation/) on the input frames and
+    return ground-truth features in the decoder layout [B, H*W, C] — the
+    TPU-native equivalent of the reference running the torch teachers inline
+    in decode_everything(gt=True) (reference decode.py:126-176).
+
+    Weights per teacher come from ``hf_models`` (HF torch modules, converted
+    on the fly) or ``teacher_params`` (already-converted JAX param trees —
+    e.g. from foundation extraction checkpoints or tests' synthetic weights).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from theia_tpu.foundation.extraction import get_model
+    from theia_tpu.ops.image import interpolate_nearest
+
+    hf_models = hf_models or {}
+    teacher_params = teacher_params or {}
+    out: dict[str, np.ndarray] = {}
+    for name in (DINO, SAM, DEPTH):
+        module, params, feature_fn = get_model(name, hf_models.get(name))
+        if params is None:
+            params = teacher_params.get(name)
+        if params is None:
+            raise ValueError(
+                f"no weights for GT teacher {name}: pass hf_models={{name: "
+                "HF module}} or teacher_params={name: JAX params}"
+            )
+        fwd = jax.jit(lambda p, x, m=module, f=feature_fn: f(m, p, x))
+        feats = []
+        for i in range(0, len(images), batch_size):
+            r = fwd(params, jnp.asarray(images[i : i + batch_size]))
+            if name == DINO:
+                visual = r[1]  # [B, C, 16, 16]
+                f = jnp.transpose(visual.reshape(*visual.shape[:2], -1), (0, 2, 1))
+            elif name == SAM:
+                emb = r[0]  # [B, 256, 64, 64]
+                f = jnp.transpose(emb.reshape(*emb.shape[:2], -1), (0, 2, 1))
+            else:  # depth head feature [B, 32, 518, 518] -> 64x64 (extraction layout)
+                h = interpolate_nearest(jnp.transpose(r, (0, 2, 3, 1)), 64, 64)
+                f = h.reshape(h.shape[0], 64 * 64, h.shape[-1])
+            feats.append(np.asarray(jax.device_get(f), np.float32))
+        out[name] = np.concatenate(feats)
+    return out
+
+
 def decode_everything(
     theia_forward,
     feature_means: dict[str, np.ndarray],
@@ -52,6 +103,9 @@ def decode_everything(
     pred_iou_thresh: float = 0.9,
     stability_score_thresh: float = 0.9,
     gt_features: Optional[dict[str, np.ndarray]] = None,
+    gt: bool = False,
+    gt_teacher_models: Optional[dict[str, Any]] = None,
+    gt_teacher_params: Optional[dict[str, Any]] = None,
     pca=None,
     **kwargs: Any,
 ) -> tuple[list[np.ndarray], Optional[list[np.ndarray]]]:
@@ -63,9 +117,17 @@ def decode_everything(
         theia_forward: callable uint8 [B,H,W,3] -> dict[teacher, np features].
         images: uint8 [B, 224, 224, 3].
         gt_features: optional real-teacher features (same dict layout) to
-            render a ground-truth row (the reference runs the real teachers
-            inline; here they are supplied by the caller/extraction path).
+            render a ground-truth row.
+        gt: run the ported JAX teachers on ``images`` to produce the
+            ground-truth row inline (reference decode.py:126-176); weights
+            come from ``gt_teacher_models`` (HF torch modules) or
+            ``gt_teacher_params`` (JAX param trees). Ignored when
+            ``gt_features`` is already supplied.
     """
+    if gt and gt_features is None:
+        gt_features = run_gt_teachers(
+            images, hf_models=gt_teacher_models, teacher_params=gt_teacher_params
+        )
     features = {k: np.asarray(v) for k, v in theia_forward(images).items()}
     for m in features:
         features[m] = denormalize_feature(

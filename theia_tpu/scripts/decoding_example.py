@@ -46,6 +46,14 @@ def main(argv=None) -> None:
     parser.add_argument("--stat-root", default=os.path.join(os.path.dirname(__file__), "..", "..", "feature_stats"))
     parser.add_argument("--sam-checkpoint", default=None, help="HF SamModel weights for the mask decoder")
     parser.add_argument("--depth-checkpoint", default=None, help="HF DepthAnything weights for the depth head")
+    parser.add_argument(
+        "--gt", action="store_true",
+        help="also run the real (ported JAX) teachers on the input frames and "
+        "stack a ground-truth panel row under the predicted row (reference "
+        "decode.py:126-196); teacher weights come from --dinov2-checkpoint, "
+        "--sam-checkpoint and --depth-checkpoint",
+    )
+    parser.add_argument("--dinov2-checkpoint", default=None, help="HF Dinov2Model weights for the GT row")
     args = parser.parse_args(argv)
 
     import jax
@@ -72,16 +80,36 @@ def main(argv=None) -> None:
         return {k: np.asarray(v) for k, v in fwd(jnp.asarray(images)).items()}
 
     means, stds = load_feature_stats(target_models, args.stat_root)
-    mask_generator, _ = prepare_mask_generator(
-        hf_model=_maybe_torch_sam(args.sam_checkpoint)
-    )
-    depth_decoder, _ = prepare_depth_decoder(hf_model=_maybe_torch_depth(args.depth_checkpoint))
+    hf_sam = _maybe_torch_sam(args.sam_checkpoint)
+    hf_depth = _maybe_torch_depth(args.depth_checkpoint)
+    mask_generator, _ = prepare_mask_generator(hf_model=hf_sam)
+    depth_decoder, _ = prepare_depth_decoder(hf_model=hf_depth)
+
+    gt_models = None
+    if args.gt:
+        # the SamModel/DepthAnything modules loaded for the decoders double
+        # as GT teacher weight sources; DINOv2 needs its own checkpoint
+        gt_models = {}
+        if args.dinov2_checkpoint:
+            from transformers import Dinov2Model
+
+            gt_models["facebook/dinov2-large"] = Dinov2Model.from_pretrained(
+                args.dinov2_checkpoint
+            )
+        if hf_sam is not None:
+            gt_models["facebook/sam-vit-huge"] = hf_sam
+        if hf_depth is not None:
+            gt_models["LiheYoung/depth-anything-large-hf"] = hf_depth
 
     media = load_media(args.media_to_vis_path)
-    results, _ = decode_everything(
+    results, gt_results = decode_everything(
         theia_forward, means, stds, media, mask_generator, depth_decoder,
         pred_iou_thresh=0.5, stability_score_thresh=0.7,
+        gt=args.gt, gt_teacher_models=gt_models,
     )
+    if gt_results is not None:
+        # reference layout: predicted row on top, ground-truth row below
+        results = [np.vstack([r, g]) for r, g in zip(results, gt_results)]
 
     os.makedirs(args.vis_output_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.media_to_vis_path))[0]
