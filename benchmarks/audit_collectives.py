@@ -148,7 +148,18 @@ def build_and_audit(size: str, batch: int, layers: int | None):
                 "param_count": n_params,
                 "grad_f32_bytes": 4 * n_params,
                 "measured_data_axis_all_reduce_bytes": data_ar_bytes,
-                "ratio": round(data_ar_bytes / (4 * n_params), 3) if n_data > 1 else None,
+                # on square meshes (n_data == n_model) group_size alone can't
+                # separate data-axis from model-axis all-reduces — the byte
+                # sum conflates both, so no ratio claim is made there
+                "ratio": (
+                    round(data_ar_bytes / (4 * n_params), 3)
+                    if n_data > 1 and n_data != n_model
+                    else None
+                ),
+                "note": (
+                    "group_size-ambiguous square mesh; bytes include "
+                    "model-axis collectives" if n_data == n_model else None
+                ),
             }
             audit["claims"] = claims
             results[f"data{n_data}_model{n_model}"] = audit

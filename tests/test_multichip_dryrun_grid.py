@@ -8,6 +8,7 @@ per geometry and asserts loss equality vs the single-device run (the
 assertion lives inside dryrun_multichip itself).
 """
 
+import os
 import re
 import subprocess
 import sys
@@ -19,6 +20,10 @@ ROOT = Path(__file__).parent.parent
 
 
 def _run_dryrun(n: int) -> str:
+    # conftest pins XLA_FLAGS to an 8-device count in THIS process; the
+    # child needs its own device count, so override rather than inherit
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
     proc = subprocess.run(
         [
             sys.executable,
@@ -32,6 +37,7 @@ def _run_dryrun(n: int) -> str:
         capture_output=True,
         text=True,
         timeout=3000,
+        env=env,
     )
     assert proc.returncode == 0, f"dryrun_multichip({n}) failed:\n{proc.stderr[-4000:]}"
     return proc.stdout

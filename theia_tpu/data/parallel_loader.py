@@ -116,7 +116,7 @@ class ParallelSampleSource:
         queue_depth: int = 16,
         mp_context: str = "forkserver",
         ordered: bool = True,
-        transport: str = "queue",
+        transport: str = "shm",
         slot_bytes: int = 8 << 20,
     ) -> None:
         if num_workers <= 0:
@@ -152,12 +152,16 @@ class ParallelSampleSource:
     def __iter__(self) -> Iterator[Any]:
         import sys
 
+        import os as _os
+
         mp_context = self.mp_context
-        if mp_context == "forkserver" and not getattr(
-            sys.modules.get("__main__"), "__file__", None
-        ):
-            # forkserver preloads __main__; for stdin/REPL-run programs that
-            # blocks forever waiting on stdin — fall back to fork
+        mainf = getattr(sys.modules.get("__main__"), "__file__", None)
+        if mp_context == "forkserver" and (mainf is None or not _os.path.exists(mainf)):
+            # forkserver/spawn children re-import __main__ from its path;
+            # stdin/REPL programs have no real path (__file__ is unset or
+            # the literal '<stdin>'), so their children die in bootstrap
+            # (run_path('<stdin>') FileNotFoundError). Fork inherits
+            # everything by memory copy and needs no re-import.
             mp_context = "fork"
         ctx = mp.get_context(mp_context)
         parts = self.dataset.split(self.num_workers)
@@ -172,13 +176,27 @@ class ParallelSampleSource:
         if self.transport == "shm":
             from multiprocessing import shared_memory
 
-            for i in range(len(parts)):
-                shms[i] = shared_memory.SharedMemory(
-                    create=True, size=self.queue_depth * self.slot_bytes
+            try:
+                for i in range(len(parts)):
+                    shms[i] = shared_memory.SharedMemory(
+                        create=True, size=self.queue_depth * self.slot_bytes
+                    )
+                    free_qs[i] = ctx.Queue()
+                    for s in range(self.queue_depth):
+                        free_qs[i].put(s)
+            except OSError as e:  # /dev/shm too small (tight containers)
+                import warnings
+
+                warnings.warn(
+                    f"shared-memory ring allocation failed ({e}); loader "
+                    "workers fall back to the pickle/queue transport"
                 )
-                free_qs[i] = ctx.Queue()
-                for s in range(self.queue_depth):
-                    free_qs[i].put(s)
+                for s in shms:
+                    if s is not None:
+                        s.close()
+                        s.unlink()
+                shms = [None] * len(parts)
+                free_qs = [None] * len(parts)
 
         def materialize(widx: int, payload: Any) -> Any:
             slot, metas, skel = payload
@@ -209,13 +227,39 @@ class ParallelSampleSource:
         ]
         for p in procs:
             p.start()
+
+        import queue as _queue
+
+        def get_checked(q, who):
+            """q.get that cannot hang on a dead worker: a child that dies
+            BEFORE sending its sentinel (e.g. spawn bootstrap failing to
+            unpickle a __main__-defined dataset from a stdin-run program)
+            must surface as an error, not an eternal block."""
+            while True:
+                try:
+                    return q.get(timeout=5)
+                except _queue.Empty:
+                    dead = [
+                        i for i in who
+                        if not procs[i].is_alive() and procs[i].exitcode != 0
+                    ]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker(s) {dead} died (exit codes "
+                            f"{[procs[i].exitcode for i in dead]}) without "
+                            "reporting; if the dataset class is defined in a "
+                            "stdin/REPL __main__, the spawn context cannot "
+                            "reconstruct it in the child — run from a file "
+                            "or pass mp_context='fork' explicitly"
+                        )
+
         try:
             if self.ordered:
                 live = list(range(len(parts)))
                 while live:
                     next_live = []
                     for i in live:
-                        kind, payload = queues[i].get()
+                        kind, payload = get_checked(queues[i], [i])
                         if kind == "sample":
                             yield payload
                             next_live.append(i)
@@ -229,7 +273,7 @@ class ParallelSampleSource:
             else:
                 done = 0
                 while done < len(parts):
-                    kind, payload = shared.get()
+                    kind, payload = get_checked(shared, list(range(len(parts))))
                     if kind == "sample":
                         yield payload
                     elif kind == "shm":
