@@ -206,9 +206,11 @@ def main() -> None:
         "facebook/deit-base-patch16-224", batch_size=64
     )
     # deit-small is the reference's DEFAULT student backbone
-    # (/root/reference/src/theia/configs/model/backbone/deit.yaml)
+    # (/root/reference/src/theia/configs/model/backbone/deit.yaml).
+    # B=64: the batch sweep (probe_batch_sweep.py --small, 2026-08-20)
+    # plateaus at 1443-1451 img/s for B=32-64 and drops ~6% at B>=96
     small_dts, small_flops, _ = _bench_distill(
-        "facebook/deit-small-patch16-224", batch_size=128
+        "facebook/deit-small-patch16-224", batch_size=64
     )
     tiny_dts, tiny_flops, _ = _bench_distill(
         "facebook/deit-tiny-patch16-224", batch_size=256
@@ -216,7 +218,7 @@ def main() -> None:
     ff_wire_ms, ff_dev_ms = _bench_forward_feature("facebook/deit-base-patch16-224")
 
     tiny_dt, small_dt, base_dt = _median(tiny_dts), _median(small_dts), _median(base_dts)
-    tiny_ips, small_ips, base_ips = 256 / tiny_dt, 128 / small_dt, 64 / base_dt
+    tiny_ips, small_ips, base_ips = 256 / tiny_dt, 64 / small_dt, 64 / base_dt
     peak = _peak_flops()
 
     extra = {
@@ -230,7 +232,7 @@ def main() -> None:
         "theia_base_step_ms_b64": round(base_dt * 1000, 2),
         "theia_base_step_ms_min": round(min(base_dts) * 1000, 2),
         "theia_base_step_ms_all": [round(v * 1000, 2) for v in base_dts],
-        "theia_small_step_ms_b128": round(small_dt * 1000, 2),
+        "theia_small_step_ms_b64": round(small_dt * 1000, 2),
         "theia_small_step_ms_min": round(min(small_dts) * 1000, 2),
         "theia_small_step_ms_all": [round(v * 1000, 2) for v in small_dts],
         "theia_tiny_images_per_sec": round(tiny_ips, 1),
@@ -272,7 +274,7 @@ def main() -> None:
             }
         )
     if small_flops and peak:
-        sfpi = small_flops / 128
+        sfpi = small_flops / 64
         extra["small_train_gflops_per_img"] = round(sfpi / 1e9, 1)
         extra["small_mfu"] = round(small_ips * sfpi / peak, 3)
     if tiny_flops and peak:
