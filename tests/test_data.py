@@ -485,3 +485,60 @@ def test_unordered_merge_overlaps_workers():
     wall = time.perf_counter() - t_both_started
     assert len(got) == 10
     assert wall < 2.0, f"workers did not overlap: wall={wall:.2f}s vs 2.4s serial"
+
+
+class _DyingDataset:
+    """Worker-side crash simulator: the child dies without a sentinel."""
+
+    def split(self, n):
+        return [_DyingDataset() for _ in range(n)]
+
+    def __iter__(self):
+        import os
+
+        os._exit(1)
+        yield  # pragma: no cover
+
+
+def test_dead_worker_raises_not_hangs():
+    """A worker that dies before sending its sentinel (e.g. spawn bootstrap
+    failure) must surface as a RuntimeError within seconds — the round-5
+    regression fix for the parent blocking forever on queue.get()."""
+    import pytest as _pytest
+
+    from theia_tpu.data.parallel_loader import ParallelSampleSource
+
+    par = ParallelSampleSource(_DyingDataset(), num_workers=2, transport="queue")
+    with _pytest.raises(RuntimeError, match="died"):
+        list(par)
+
+
+def test_shm_allocation_failure_falls_back_to_queue(monkeypatch, tmp_path):
+    """If /dev/shm cannot hold the rings, the shm transport must degrade to
+    the pickle/queue path with a warning — same samples, no crash."""
+    import warnings
+
+    import multiprocessing.shared_memory as shared_memory
+
+    from theia_tpu.data.parallel_loader import ParallelSampleSource
+
+    root = str(tmp_path)
+    generate_synthetic_dataset(
+        root, feature_models=MODELS, n_train=8, n_val=2, samples_per_shard=4
+    )
+    ds, _ = get_image_video_dataset(
+        dataset_root=root, feature_models=list(MODELS), dataset_mix=["imagenet"],
+        split="train", seed=0,
+    )
+    base = sorted(bytes(s["image"][:2, :8, 0].tobytes()) for s in ds)
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(shared_memory, "SharedMemory", boom)
+    par = ParallelSampleSource(ds, num_workers=2, transport="shm")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = sorted(bytes(s["image"][:2, :8, 0].tobytes()) for s in par)
+    assert got == base
+    assert any("fall back" in str(x.message) for x in w)
