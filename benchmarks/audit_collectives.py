@@ -46,18 +46,12 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
-def meshes_for(n: int) -> list[tuple[int, int]]:
-    """(n,1),(n/2,2),(n/4,4): 8 -> the original rows; 16 -> (16,1),(8,2),
-    (4,4); 32 -> (32,1),(16,2),(8,4) (VERDICT r4 #4 grid)."""
-    out = [(n, 1)]
-    if n % 2 == 0:
-        out.append((n // 2, 2))
-    if n % 4 == 0:
-        out.append((n // 4, 4))
-    return out
+# the geometry grid is owned by __graft_entry__._mesh_grid so the audited
+# meshes are exactly the ones the driver dryrun steps (no second copy to
+# keep in sync; its guards skip degenerate data=1 TP meshes at tiny counts)
+from __graft_entry__ import _mesh_grid
 
-
-MESHES = meshes_for(_N_DEVICES)
+MESHES = _mesh_grid(_N_DEVICES)
 
 
 def build_and_audit(size: str, batch: int, layers: int | None):

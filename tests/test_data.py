@@ -542,3 +542,83 @@ def test_shm_allocation_failure_falls_back_to_queue(monkeypatch, tmp_path):
         got = sorted(bytes(s["image"][:2, :8, 0].tobytes()) for s in par)
     assert got == base
     assert any("fall back" in str(x.message) for x in w)
+
+
+class _CleanExitDataset:
+    """Worker exits 0 mid-iteration WITHOUT a sentinel (sys.exit in a lib)."""
+
+    def split(self, n):
+        return [_CleanExitDataset() for _ in range(n)]
+
+    def __iter__(self):
+        import os
+
+        os._exit(0)
+        yield  # pragma: no cover
+
+
+def test_exit_zero_worker_raises_not_hangs():
+    """exit code 0 without a sentinel must ALSO raise (the first fix only
+    caught nonzero exit codes, so sys.exit(0) inside a dataset iterator
+    spun the parent forever)."""
+    import pytest as _pytest
+
+    from theia_tpu.data.parallel_loader import ParallelSampleSource
+
+    par = ParallelSampleSource(_CleanExitDataset(), num_workers=2, transport="queue")
+    with _pytest.raises(RuntimeError, match="died"):
+        list(par)
+
+
+def test_shm_statvfs_guard_falls_back(monkeypatch, tmp_path):
+    """tmpfs allocates lazily, so an undersized /dev/shm passes
+    SharedMemory(create=True) and SIGBUSes on the first ring write — the
+    statvfs pre-check must catch it and degrade to the queue transport."""
+    import collections
+    import os
+    import warnings
+
+    from theia_tpu.data import parallel_loader as pl
+
+    root = str(tmp_path)
+    generate_synthetic_dataset(
+        root, feature_models=MODELS, n_train=8, n_val=2, samples_per_shard=4
+    )
+    ds, _ = get_image_video_dataset(
+        dataset_root=root, feature_models=list(MODELS), dataset_mix=["imagenet"],
+        split="train", seed=0,
+    )
+    base = sorted(bytes(s["image"][:2, :8, 0].tobytes()) for s in ds)
+
+    fake = collections.namedtuple("statvfs", "f_bavail f_frsize")(16, 4096)  # 64 KB free
+    real_statvfs = os.statvfs
+    monkeypatch.setattr(
+        os, "statvfs",
+        lambda p: fake if p == "/dev/shm" else real_statvfs(p),
+    )
+    par = pl.ParallelSampleSource(ds, num_workers=2, transport="shm")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = sorted(bytes(s["image"][:2, :8, 0].tobytes()) for s in par)
+    assert got == base
+    assert any("fall back" in str(x.message) for x in w)
+
+
+class _ScalarLeafDataset:
+    """Samples with a 0-d label leaf (shape () must survive the shm ring)."""
+
+    def split(self, n):
+        return [_ScalarLeafDataset() for _ in range(n)]
+
+    def __iter__(self):
+        for i in range(4):
+            yield {"x": np.full((8,), i, np.float32), "label": np.array(float(i))}
+
+
+def test_shm_preserves_zero_d_leaves():
+    from theia_tpu.data.parallel_loader import ParallelSampleSource
+
+    par = ParallelSampleSource(_ScalarLeafDataset(), num_workers=2, transport="shm")
+    for s in par:
+        assert s["label"].shape == (), s["label"].shape
+        assert float(s["label"]) == float(s["x"][0])

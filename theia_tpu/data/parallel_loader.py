@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import multiprocessing as mp
 import pickle
-from typing import Any, Iterable, Iterator
+from typing import Any, Iterable, Iterator, Optional
 
 import numpy as np
 
@@ -85,9 +85,10 @@ def _worker_main(dataset: Any, q: Any, shm_name: str | None = None,
             metas = []
             off = 0
             for path, a in arrays:
+                shape = a.shape  # BEFORE ascontiguousarray: it promotes 0-d to (1,)
                 a = np.ascontiguousarray(a)
                 shm.buf[base + off : base + off + a.nbytes] = a.view(np.uint8).reshape(-1).data
-                metas.append((path, a.dtype, a.shape, off))
+                metas.append((path, a.dtype, shape, off))
                 off += a.nbytes
             q.put(("shm", (widx, (slot, metas, skel))))
     except BaseException as e:  # surface the traceback text in the parent
@@ -176,7 +177,25 @@ class ParallelSampleSource:
         if self.transport == "shm":
             from multiprocessing import shared_memory
 
+            def _shm_free_bytes() -> Optional[int]:
+                try:
+                    st = _os.statvfs("/dev/shm")
+                    return st.f_bavail * st.f_frsize
+                except OSError:  # non-Linux / unusual mount: no check possible
+                    return None
+
+            need = len(parts) * self.queue_depth * self.slot_bytes
+            free = _shm_free_bytes()
             try:
+                # tmpfs allocates LAZILY: SharedMemory(create=True) succeeds
+                # on an undersized /dev/shm and the first ring WRITE dies
+                # with SIGBUS in a worker — so the size check must happen
+                # up front via statvfs, not by catching the create error.
+                if free is not None and need > free * 0.9:
+                    raise OSError(
+                        28,
+                        f"ring needs {need} bytes but /dev/shm has {free} free",
+                    )
                 for i in range(len(parts)):
                     shms[i] = shared_memory.SharedMemory(
                         create=True, size=self.queue_depth * self.slot_bytes
@@ -225,9 +244,6 @@ class ParallelSampleSource:
             )
             for i, (part, q) in enumerate(zip(parts, queues))
         ]
-        for p in procs:
-            p.start()
-
         import queue as _queue
 
         def get_checked(q, who):
@@ -239,11 +255,16 @@ class ParallelSampleSource:
                 try:
                     return q.get(timeout=5)
                 except _queue.Empty:
-                    dead = [
-                        i for i in who
-                        if not procs[i].is_alive() and procs[i].exitcode != 0
-                    ]
+                    # any EXITED worker we are still waiting on is dead —
+                    # exit code 0 without a sentinel counts (sys.exit(0)
+                    # inside a dataset iterator); grace get() first in case
+                    # the queue feeder flushed the sentinel just now
+                    dead = [i for i in who if procs[i].exitcode is not None]
                     if dead:
+                        try:
+                            return q.get(timeout=1)
+                        except _queue.Empty:
+                            pass
                         raise RuntimeError(
                             f"loader worker(s) {dead} died (exit codes "
                             f"{[procs[i].exitcode for i in dead]}) without "
@@ -254,6 +275,10 @@ class ParallelSampleSource:
                         )
 
         try:
+            # inside the try: a Process.start() failure must still run the
+            # finally (terminate started workers, unlink the shm rings)
+            for p in procs:
+                p.start()
             if self.ordered:
                 live = list(range(len(parts)))
                 while live:

@@ -39,6 +39,19 @@ from theia_tpu.utils.logging import MetricLogger, create_meters, update_meters_f
 from theia_tpu.utils.seed import seed_everything
 
 
+def _parse_grad_allreduce_dtype(value):
+    """training.grad_allreduce_dtype -> jnp dtype or None, rejecting typos
+    loudly (a silently-ignored "bf16" would invalidate any comm A/B)."""
+    if value in (None, "float32", "f32"):
+        return None
+    if value in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(
+        f"training.grad_allreduce_dtype={value!r} not supported: use "
+        "'float32' (exact wire) or 'bfloat16' (half the DP all-reduce bytes)"
+    )
+
+
 def select_target_models(cfg: DotDict) -> tuple[list[str], list[str], dict[str, tuple[int, ...]]]:
     """Teacher selection incl. optional `<t>_cls` targets
     (reference train_rvfm.py:230-246). Returns (all names, names w/o _cls,
@@ -315,10 +328,8 @@ def train_from_config(cfg: DotDict, resume: bool = True, max_steps: Optional[int
         # ~2x state memory for skipping donation's aliasing copies —
         # measured +0.7% at base (PERFORMANCE.md round 5, probe_donation.py)
         donate=bool(cfg.training.get("donate_state", True)),
-        grad_allreduce_dtype=(
-            jnp.bfloat16
-            if cfg.training.get("grad_allreduce_dtype", None) == "bfloat16"
-            else None
+        grad_allreduce_dtype=_parse_grad_allreduce_dtype(
+            cfg.training.get("grad_allreduce_dtype", None)
         ),
     )
     eval_step = make_eval_step(
